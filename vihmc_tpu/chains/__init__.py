@@ -1,0 +1,15 @@
+from vihmc_tpu.chains.parallel import sample_chains, make_chain_mesh, shard_batch
+from vihmc_tpu.chains.diagnostics import (
+    potential_scale_reduction,
+    effective_sample_size,
+    summarize,
+)
+
+__all__ = [
+    "sample_chains",
+    "make_chain_mesh",
+    "shard_batch",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "summarize",
+]

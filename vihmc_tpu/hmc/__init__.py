@@ -1,0 +1,29 @@
+from vihmc_tpu.hmc.kernel import (
+    HMCConfig,
+    HMCState,
+    SampleResult,
+    sample,
+    init_state,
+    make_kernel,
+)
+from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update, find_reasonable_step_size
+from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
+from vihmc_tpu.hmc.subspace import FrozenPolicy, make_subspace_log_prob, SubspaceSpec
+
+__all__ = [
+    "HMCConfig",
+    "HMCState",
+    "SampleResult",
+    "sample",
+    "init_state",
+    "make_kernel",
+    "DualAveragingState",
+    "da_init",
+    "da_update",
+    "find_reasonable_step_size",
+    "leapfrog",
+    "split_leapfrog",
+    "FrozenPolicy",
+    "make_subspace_log_prob",
+    "SubspaceSpec",
+]

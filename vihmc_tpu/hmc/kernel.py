@@ -1,0 +1,251 @@
+"""The HMC kernel: Metropolis-adjusted leapfrog transitions as one ``lax.scan``.
+
+Replaces the external ``hamiltorch.samplers.sample`` the reference depends on
+(call-site semantics catalogued in SURVEY.md section 2.4):
+
+* plain HMC — momentum ~ N(0, M), ``num_leapfrog`` steps, MH accept/reject;
+* ``sampler='hmc_nuts'`` — same, with dual-averaging step-size adaptation
+  during the first ``burn`` draws targeting 80% acceptance, frozen after
+  (reference /root/reference/Operator_network/HMC/NUTS_DeepOnets.py:5-9);
+* ``integrator='splitting'`` — data-split Hamiltonian sub-steps
+  (reference main_HMC_splitting.py:361-369);
+* non-finite Hamiltonian differences reject the proposal (reference
+  ``util.has_nan_or_inf`` / ``LogProbError`` semantics, and count as
+  divergences);
+* an explicit per-draw ``aux_refresh`` hook generalizes the reference's
+  implicit "extra-argument resamples the frozen VI coordinates" convention
+  (/root/reference/Operator_network/VI_HMC/main_VI_HMC_burgers.py:91-94) into
+  first-class sampler state carried through the scan.
+
+Everything — all draws, all leapfrog steps — is a single compiled XLA
+computation per chain; chains vectorize with ``vmap`` and shard over a device
+mesh (see :mod:`vihmc_tpu.chains`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update
+from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
+
+#: log-Hamiltonian-error threshold below which a transition counts as divergent
+DIVERGENCE_THRESHOLD = -1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    """Static sampler configuration (hashable; safe as a jit static arg)."""
+
+    num_samples: int = 100
+    num_leapfrog: int = 10
+    step_size: float = 0.1
+    burn: int = 0                       # draws before adaptation freezes
+    sampler: str = "hmc"                # 'hmc' | 'hmc_nuts'
+    integrator: str = "leapfrog"        # 'leapfrog' | 'splitting'
+    target_accept: float = 0.8
+    store_burn: bool = True             # hamiltorch returns burn draws for plain HMC
+
+
+@struct.dataclass
+class HMCState:
+    position: jnp.ndarray
+    log_prob: jnp.ndarray
+    grad: jnp.ndarray
+    da: DualAveragingState
+    aux: Any  # frozen-coordinate state etc.; None when unused
+
+
+@struct.dataclass
+class SampleResult:
+    samples: jnp.ndarray        # (S, D)
+    log_probs: jnp.ndarray      # (S,)
+    accept_probs: jnp.ndarray   # (S,)
+    accepted: jnp.ndarray       # (S,) bool
+    step_sizes: jnp.ndarray     # (S,)
+    divergent: jnp.ndarray      # (S,) bool
+    final_state: HMCState
+
+    @property
+    def acceptance_rate(self):
+        return jnp.mean(self.accepted.astype(jnp.float32))
+
+    @property
+    def num_divergent(self):
+        return jnp.sum(self.divergent.astype(jnp.int32))
+
+
+def _num_positional_params(fn) -> int:
+    import inspect
+
+    try:
+        return len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        return 1
+
+
+def _normalize_log_prob(log_prob_fn):
+    """Accept both f(q) and f(q, aux) signatures (decided once, by signature)."""
+    if _num_positional_params(log_prob_fn) >= 2:
+        return log_prob_fn
+    return lambda q, aux: log_prob_fn(q)
+
+
+def init_state(log_prob_fn, position, config: HMCConfig, aux=None) -> HMCState:
+    fn = _normalize_log_prob(log_prob_fn)
+    lp, g = jax.value_and_grad(fn)(position, aux)
+    return HMCState(position=position, log_prob=lp, grad=g,
+                    da=da_init(config.step_size), aux=aux)
+
+
+def make_kernel(
+    log_prob_fn: Callable,
+    config: HMCConfig,
+    inv_mass=1.0,
+    aux_refresh: Optional[Callable] = None,
+    shard_log_prob_fn: Optional[Callable] = None,
+    shard_data=None,
+):
+    """Build ``kernel(state, key, iteration) -> (state, info)``.
+
+    Parameters
+    ----------
+    log_prob_fn : (q[, aux]) -> scalar log target density.
+    inv_mass : scalar or (D,) diagonal inverse mass. A VI-posterior-variance
+        inverse mass preconditions the subspace sampler (BASELINE.md north star).
+    aux_refresh : (key, aux) -> aux, run before each draw (frozen-coordinate
+        refresh policy). When it changes ``aux``, log_prob/grad are recomputed.
+    shard_log_prob_fn, shard_data : per-shard potential for the splitting
+        integrator: (q, shard[, aux]) -> scalar, with ``shard_data`` leaves
+        stacked along axis 0.
+    """
+    fn = _normalize_log_prob(log_prob_fn)
+    vag = jax.value_and_grad(fn)
+    adapt = config.sampler == "hmc_nuts"
+
+    if config.integrator == "splitting":
+        if shard_log_prob_fn is None or shard_data is None:
+            raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
+
+    def kernel(state: HMCState, key, iteration):
+        key_mom, key_u, key_aux = jax.random.split(key, 3)
+        in_burn = iteration < config.burn
+
+        # --- frozen-coordinate refresh (first-class aux state) ---
+        if aux_refresh is not None:
+            aux = aux_refresh(key_aux, state.aux)
+            lp0, g0 = vag(state.position, aux)
+        else:
+            aux = state.aux
+            lp0, g0 = state.log_prob, state.grad
+
+        # --- step size: adapting iterate during burn, averaged after ---
+        if adapt:
+            eps = jnp.where(in_burn, jnp.exp(state.da.log_step), jnp.exp(state.da.log_step_avg))
+        else:
+            eps = jnp.asarray(config.step_size, jnp.float32)
+
+        # --- momentum draw: p ~ N(0, M), M = inv_mass^-1 ---
+        p0 = jax.random.normal(key_mom, state.position.shape) / jnp.sqrt(inv_mass)
+        ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0)
+
+        # --- trajectory ---
+        if config.integrator == "splitting":
+            def shard_vag(q, shard):
+                return jax.value_and_grad(
+                    lambda qq: _call_shard(shard_log_prob_fn, qq, shard, aux)
+                )(q)
+
+            q1, p1 = split_leapfrog(shard_vag, shard_data, state.position, p0,
+                                    eps, config.num_leapfrog, inv_mass)
+            lp1, g1 = vag(q1, aux)
+        else:
+            q1, p1, lp1, g1 = leapfrog(lambda q: vag(q, aux), state.position, p0,
+                                       g0, eps, config.num_leapfrog, inv_mass)
+        ke1 = 0.5 * jnp.sum(inv_mass * p1 * p1)
+
+        # --- Metropolis accept/reject with NaN-safe energies ---
+        delta = (lp1 - ke1) - (lp0 - ke0)
+        finite = jnp.isfinite(delta)
+        accept_prob = jnp.where(finite, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0))), 0.0)
+        log_u = jnp.log(jax.random.uniform(key_u))
+        accept = finite & (log_u < delta)
+        divergent = jnp.logical_not(finite) | (delta < DIVERGENCE_THRESHOLD)
+
+        position = jnp.where(accept, q1, state.position)
+        log_prob = jnp.where(accept, lp1, lp0)
+        grad = jnp.where(accept, g1, g0)
+
+        # --- dual averaging (burn phase only) ---
+        if adapt:
+            da_new = da_update(state.da, accept_prob, config.target_accept)
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_burn, new, old), da_new, state.da
+            )
+        else:
+            da = state.da
+
+        new_state = HMCState(position=position, log_prob=log_prob, grad=grad, da=da, aux=aux)
+        info = {
+            "accept_prob": accept_prob,
+            "accepted": accept,
+            "step_size": eps,
+            "divergent": divergent,
+            "log_prob": log_prob,
+        }
+        return new_state, info
+
+    return kernel
+
+
+def _call_shard(fn, q, shard, aux):
+    if _num_positional_params(fn) >= 3:
+        return fn(q, shard, aux)
+    return fn(q, shard)
+
+
+def sample(
+    log_prob_fn: Callable,
+    init_position: jnp.ndarray,
+    key,
+    config: HMCConfig,
+    inv_mass=1.0,
+    aux=None,
+    aux_refresh: Optional[Callable] = None,
+    shard_log_prob_fn: Optional[Callable] = None,
+    shard_data=None,
+) -> SampleResult:
+    """Draw ``config.num_samples`` HMC samples from ``log_prob_fn``.
+
+    The whole chain is one ``lax.scan``; wrap in ``jax.jit`` (the pipelines
+    do) so all draws compile to a single XLA computation.
+    """
+    kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
+                         aux_refresh=aux_refresh,
+                         shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data)
+    state0 = init_state(log_prob_fn, init_position, config, aux=aux)
+
+    keys = jax.random.split(key, config.num_samples)
+    iters = jnp.arange(config.num_samples)
+
+    def step(state, xs):
+        k, i = xs
+        state, info = kernel(state, k, i)
+        out = {"position": state.position, **info}
+        return state, out
+
+    final_state, outs = jax.lax.scan(step, state0, (keys, iters))
+    return SampleResult(
+        samples=outs["position"],
+        log_probs=outs["log_prob"],
+        accept_probs=outs["accept_prob"],
+        accepted=outs["accepted"],
+        step_sizes=outs["step_size"],
+        divergent=outs["divergent"],
+        final_state=final_state,
+    )

@@ -1,0 +1,44 @@
+from vihmc_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply, get_activation
+from vihmc_tpu.models.deeponet import (
+    DeepONetConfig,
+    init_deeponet,
+    deeponet_apply,
+    bc_embedding,
+)
+from vihmc_tpu.models.bayesian import (
+    VariationalParams,
+    init_variational,
+    sample_params,
+    mean_params,
+    kl_gaussian,
+    kl_divergence,
+    bayesian_mlp_apply,
+    bayesian_deeponet_apply,
+    bbb_linear_apply,
+    lrt_linear_apply,
+    bbb_conv2d_apply,
+    lrt_conv2d_apply,
+)
+
+__all__ = [
+    "MLPConfig",
+    "init_mlp",
+    "mlp_apply",
+    "get_activation",
+    "DeepONetConfig",
+    "init_deeponet",
+    "deeponet_apply",
+    "bc_embedding",
+    "VariationalParams",
+    "init_variational",
+    "sample_params",
+    "mean_params",
+    "kl_gaussian",
+    "kl_divergence",
+    "bayesian_mlp_apply",
+    "bayesian_deeponet_apply",
+    "bbb_linear_apply",
+    "lrt_linear_apply",
+    "bbb_conv2d_apply",
+    "lrt_conv2d_apply",
+]

@@ -1,0 +1,92 @@
+"""Shared pipeline plumbing: flat-vector model closures and log-posteriors.
+
+The reference re-creates ``define_model_log_prob`` closures in four places
+(SURVEY.md section 2.3); here one factory builds the flat-parameter forward
+(`apply_flat`) from the pure model and one builds the log-posterior from
+(apply, data, likelihood, prior) — the composition the HMC kernel consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vihmc_tpu.core.ravel import ravel_pytree
+from vihmc_tpu.dists.likelihoods import get_likelihood
+from vihmc_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply
+from vihmc_tpu.models.deeponet import DeepONetConfig, init_deeponet, deeponet_apply
+from vihmc_tpu.models.bayesian import bayesian_mlp_apply, bayesian_deeponet_apply
+
+
+def make_flat_mlp(cfg: MLPConfig, key=None):
+    """Returns (apply_flat(flat, x) -> y, flat0, unravel)."""
+    key = jax.random.key(0) if key is None else key
+    params0 = init_mlp(key, cfg)
+    flat0, unravel = ravel_pytree(params0)
+
+    def apply_flat(flat, x):
+        return mlp_apply(cfg, unravel(flat), x)
+
+    return apply_flat, flat0, unravel
+
+
+def make_flat_deeponet(cfg: DeepONetConfig, key=None):
+    """Returns (apply_flat(flat, branch_x, trunk_x) -> y, flat0, unravel)."""
+    key = jax.random.key(0) if key is None else key
+    params0 = init_deeponet(key, cfg)
+    flat0, unravel = ravel_pytree(params0)
+
+    def apply_flat(flat, branch_x, trunk_x):
+        return deeponet_apply(cfg, unravel(flat), branch_x, trunk_x)
+
+    return apply_flat, flat0, unravel
+
+
+def make_log_posterior(
+    forward: Callable,           # flat -> model output on the (closed-over) data
+    y,
+    model_loss,
+    tau_out: float,
+    prior=None,
+    prior_scale: float = 1.0,
+):
+    """log p(theta | D) = log-likelihood + log-prior / prior_scale.
+
+    ``prior_scale`` follows the reference's splitting convention (the prior is
+    divided across shard potentials, main_HMC_splitting.py:202-204).
+    """
+    like = get_likelihood(model_loss)
+
+    def log_prob(flat):
+        out = forward(flat)
+        ll = like(out.reshape(y.shape), y, tau_out)
+        if prior is not None:
+            ll = ll + prior.log_prob(flat) / prior_scale
+        return ll
+
+    return log_prob
+
+
+# ---------------------------------------------------------------------------
+# VI-trainer adapters: batch dicts -> Bayesian model applies
+# ---------------------------------------------------------------------------
+
+def mlp_vi_apply(cfg: MLPConfig, mode: str = "bbb"):
+    """apply_fn(vp, batch{'x','y'}, key, sample) for the VI trainer."""
+
+    def apply_fn(vp, batch, key, sample):
+        return bayesian_mlp_apply(cfg, vp, batch["x"], key, mode=mode, sample=sample)
+
+    return apply_fn
+
+
+def deeponet_vi_apply(cfg: DeepONetConfig, mode: str = "bbb"):
+    """apply_fn(vp, batch{'branch','trunk','y'}, key, sample) for the VI trainer."""
+
+    def apply_fn(vp, batch, key, sample):
+        return bayesian_deeponet_apply(cfg, vp, batch["branch"], batch["trunk"], key,
+                                       mode=mode, sample=sample)
+
+    return apply_fn

@@ -1,0 +1,186 @@
+"""Typed run configs mirroring the reference's per-pipeline config modules.
+
+The reference uses importable ``config.py`` constant modules with *derived*
+values computed at import — notably the analytic trajectory-length rule
+``L = int(pi * post_var / (2 * step_size))``
+(/root/reference/Neural_network/HMC/config.py:25,
+/root/reference/Operator_network/VI_HMC/config.py:41-42). Here each pipeline
+has a frozen dataclass with the same fields and defaults; configs serialize
+with every run via :class:`vihmc_tpu.io.RunStore` (replacing the reference's
+``cp config.py`` provenance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+from vihmc_tpu.models.mlp import MLPConfig
+from vihmc_tpu.models.deeponet import DeepONetConfig
+from vihmc_tpu.vi.elbo import ELBOConfig
+from vihmc_tpu.vi.train import VIConfig
+
+
+def trajectory_length(post_var: float, step_size: float) -> int:
+    """The reference's analytic L rule: half a period of the harmonic
+    oscillator with the posterior's marginal variance."""
+    return max(1, int(math.pi * post_var / (2.0 * step_size)))
+
+
+@dataclasses.dataclass(frozen=True)
+class NNHMCRunConfig:
+    """Full-parameter HMC for the regression MLP
+    (/root/reference/Neural_network/HMC/config.py)."""
+
+    model: MLPConfig = dataclasses.field(default_factory=MLPConfig)
+    n_train: int = 20
+    n_val: int = 300
+    tau: float = 1.0                 # per-tensor prior precision
+    tau_out: float = 1.0 / 0.05**2   # likelihood precision ('regression' loss)
+    step_size: float = 1e-4
+    num_samples: int = 1000
+    post_std: float = 0.2024         # empirical posterior std driving L
+    num_chains: int = 1
+    loss: str = "regression"
+
+    @property
+    def L(self) -> int:
+        return trajectory_length(self.post_std**2, self.step_size)
+
+    @property
+    def burn(self) -> int:
+        return self.num_samples // 5
+
+
+@dataclasses.dataclass(frozen=True)
+class NNVIRunConfig:
+    """NN VI training (/root/reference/Neural_network/VI/config.py)."""
+
+    model: MLPConfig = dataclasses.field(default_factory=MLPConfig)
+    n_train: int = 20
+    n_val: int = 300
+    noise: float = 5e-2
+    vi: VIConfig = dataclasses.field(default_factory=lambda: VIConfig(
+        epochs=10_000, lr_start=1e-2, patience=100, num_ens=10, beta_type=1.0,
+        prior_mu=0.0, prior_sigma=1.0,
+        elbo=ELBOConfig(reduction="sum", fixed_noise_var=5e-2**2),
+    ))
+    posterior_mu_initial: tuple = (0.0, 0.1)
+    posterior_rho_initial: tuple = (-3.0, 0.1)
+    mode: str = "bbb"
+    num_uq_samps: int = 500
+
+
+@dataclasses.dataclass(frozen=True)
+class SensitivityRunConfig:
+    """(/root/reference/Neural_network/VI/config_sens.py,
+    /root/reference/Operator_network/VI/config_sens.py)."""
+
+    importance_threshold: float = 0.90
+    batch_chunk: int = 0     # stream Jacobian batches in chunks (>0)
+    p_subsample: int = 100   # trunk points used for operator Jacobians
+
+
+@dataclasses.dataclass(frozen=True)
+class VIHMCRunConfig:
+    """Subspace VI-HMC (/root/reference/Neural_network/VI_HMC/config.py and
+    /root/reference/Operator_network/VI_HMC/config.py)."""
+
+    step_size: float = 5e-4
+    num_samples: int = 100
+    burn: Optional[int] = None       # default num_samples // 5
+    prior_var: float = 1.0
+    post_std: float = 0.2501
+    loss: str = "NLL"
+    tau_out: float = 5e-2**2         # variance under NLL
+    num_chains: int = 10
+    load_prior: bool = True          # subspace prior = VI posterior
+    load_std: bool = True            # use VI stds (else sqrt(prior_var))
+    init_prior: bool = True          # init from VI (mean or draw)
+    sample_prior: bool = False       # init from a VI draw instead of the mean
+    frozen_policy: str = "refresh"   # 'mean' | 'draw' | 'refresh'
+    vi_mass: bool = False            # precondition: inv_mass = VI sigma^2 (extension)
+
+    @property
+    def L(self) -> int:
+        return trajectory_length(self.post_std**2, self.step_size)
+
+    @property
+    def burn_(self) -> int:
+        return self.num_samples // 5 if self.burn is None else self.burn
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatorVIRunConfig:
+    """Operator VI training (/root/reference/Operator_network/VI/config.py)."""
+
+    model: DeepONetConfig = dataclasses.field(default_factory=DeepONetConfig)
+    n_train: int = 1000
+    n_valid: int = 1000
+    batch_size: int = 128
+    p: int = 10201                   # trunk points per example (subsample if < grid)
+    vi: VIConfig = dataclasses.field(default_factory=lambda: VIConfig(
+        epochs=1000, lr_start=1e-3, patience=50, num_ens=5, beta_type=1.0,
+        prior_mu=0.0, prior_sigma=0.1,
+        elbo=ELBOConfig(reduction="mean_x_n", fixed_noise_var=1.0),
+    ))
+    posterior_mu_initial: tuple = (0.0, 0.1)
+    posterior_rho_initial: tuple = (-5.0, 0.1)
+    mode: str = "bbb"
+
+
+@dataclasses.dataclass(frozen=True)
+class OperatorHMCRunConfig:
+    """Full-parameter DeepONet HMC with NUTS-style adaptation
+    (/root/reference/Operator_network/HMC/config.py)."""
+
+    model: DeepONetConfig = dataclasses.field(default_factory=DeepONetConfig)
+    n_train: int = 10
+    n_valid: int = 10
+    step_size: float = 1e-4
+    num_samples: int = 10
+    post_std: float = 0.0214
+    prior_var: float = 0.1**2
+    loss: str = "NLL"
+    tau_out: float = 1.0
+    sample_data: bool = False        # random trunk subsampling inside the sampler
+    p: int = 10201
+    target_accept: float = 0.8
+
+    @property
+    def L(self) -> int:
+        return trajectory_length(self.post_std**2, self.step_size)
+
+    @property
+    def burn(self) -> int:
+        return max(1, self.num_samples // 10)
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitHMCRunConfig:
+    """Split-Hamiltonian DeepONet HMC
+    (/root/reference/Operator_network/HMC/config_splitting.py)."""
+
+    model: DeepONetConfig = dataclasses.field(default_factory=DeepONetConfig)
+    n_train: int = 1000
+    n_valid: int = 1000
+    num_splits: int = 2
+    is_nuts: bool = False
+    step_size: float = 3.45e-4
+    num_samples: int = 1001
+    prior_var: float = 0.1**2
+    post_std: float = 0.0214
+    loss: str = "NLL"
+    tau_out: float = 1.0
+    sample_data: bool = False
+    p: int = 10201
+    target_accept: float = 0.8
+
+    @property
+    def L(self) -> int:
+        return trajectory_length(self.post_std**2, self.step_size)
+
+    @property
+    def burn(self) -> int:
+        return self.num_samples // 2

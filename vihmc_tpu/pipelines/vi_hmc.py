@@ -1,0 +1,183 @@
+"""VI-HMC: HMC over the sensitivity-selected subspace — the flagship pipeline.
+
+Reference: /root/reference/Neural_network/VI_HMC/main_VI_HMC.py and
+/root/reference/Operator_network/VI_HMC/main_VI_HMC_burgers.py. Stages:
+
+1. load stage-2 artifacts (VI means/stds over the full flat vector +
+   sensitive indices);
+2. build the subspace log-posterior: likelihood over the full vector with the
+   insensitive coordinates frozen per policy, plus a subspace prior that is
+   either the VI posterior (``load_prior``/``load_std``,
+   main_VI_HMC_burgers.py:263-266) or N(0, prior_var);
+3. initialize from the VI mean / a VI draw (``init_prior``/``sample_prior``,
+   main_VI_HMC_burgers.py:277-283);
+4. run chains (vectorized + mesh-shardable instead of the reference's
+   sequential loop) and evaluate the posterior predictive.
+
+TPU-first extension beyond the reference: ``vi_mass=True`` uses the VI
+posterior variances of the subspace as a diagonal inverse mass matrix
+(preconditioning), which the BASELINE.md north star calls for.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vihmc_tpu.chains import sample_chains, summarize, effective_sample_size
+from vihmc_tpu.dists.likelihoods import get_likelihood
+from vihmc_tpu.dists.priors import DiagonalGaussianPrior, IsotropicGaussianPrior
+from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
+from vihmc_tpu.hmc.subspace import draw_full
+from vihmc_tpu.core.ravel import scatter_subspace
+from vihmc_tpu.pipelines.common import make_flat_mlp, make_flat_deeponet
+from vihmc_tpu.pipelines.configs import VIHMCRunConfig
+from vihmc_tpu.pipelines.predict import posterior_predictive, predictive_metrics
+from vihmc_tpu.data.synthetic import regression_data
+from vihmc_tpu.data.burgers import get_burgers
+from vihmc_tpu.io.artifacts import RunStore
+
+
+def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts, init_key):
+    """Assemble (log_prob(q, aux), aux0, refresh, spec, prior, inv_mass)."""
+    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
+                        mu=jnp.asarray(artifacts["mu"]),
+                        sigma=jnp.asarray(artifacts["sigma"]))
+    like = get_likelihood(cfg.loss)
+
+    def full_ll(flat):
+        return like(full_forward(flat).reshape(y.shape), y, cfg.tau_out)
+
+    policy = FrozenPolicy(cfg.frozen_policy)
+    lp_like, aux0, refresh = make_subspace_log_prob(full_ll, spec, policy, init_key)
+
+    if cfg.load_prior:
+        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
+            (spec.subspace_dim,), cfg.prior_var ** 0.5)
+        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
+    else:
+        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+
+    def log_prob(q_sub, aux):
+        return lp_like(q_sub, aux) + prior.log_prob(q_sub)
+
+    inv_mass = spec.sub_sigma() ** 2 if cfg.vi_mass else 1.0
+    return log_prob, aux0, refresh, spec, prior, inv_mass
+
+
+def chain_inits(cfg: VIHMCRunConfig, spec: SubspaceSpec, key):
+    """Per-chain initial subspace vectors (main_VI_HMC_burgers.py:277-283)."""
+    keys = jax.random.split(key, cfg.num_chains)
+    if cfg.init_prior and cfg.sample_prior:
+        return jax.vmap(lambda k: draw_full(k, spec)[spec.idx_array])(keys)
+    if cfg.init_prior:
+        return jnp.tile(spec.sub_mu()[None, :], (cfg.num_chains, 1))
+    return jax.vmap(lambda k: 0.1 * jax.random.normal(k, (spec.subspace_dim,)))(keys)
+
+
+def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
+                     eval_forward=None, y_eval=None, mesh=None,
+                     store: Optional[RunStore] = None):
+    """Generic subspace-HMC driver shared by NN and operator pipelines."""
+    k_frozen, k_init, k_sample = jax.random.split(key, 3)
+    log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
+        cfg, full_forward, y_train, artifacts, k_frozen)
+
+    inits = chain_inits(cfg, spec, k_init)
+    hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
+                        step_size=cfg.step_size)
+    res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
+                        aux=aux0, aux_refresh=refresh, mesh=mesh)
+
+    out = {"result": res, "spec": spec, "prior": prior}
+    if eval_forward is not None and y_eval is not None:
+        burn = cfg.burn_
+        like = get_likelihood(cfg.loss)
+        idx = spec.idx_array
+
+        def lp_and_pred(q_sub):
+            # evaluate with frozen coordinates at the VI mean (deterministic
+            # eval counterpart of the stochastic-refresh training freeze)
+            full = scatter_subspace(spec.mu, q_sub, idx)
+            pred = eval_forward(full)
+            lp = like(pred.reshape(y_eval.shape), y_eval, cfg.tau_out) \
+                + prior.log_prob(q_sub)
+            return lp, pred
+
+        pooled = res.samples[:, burn:, :].reshape(-1, spec.subspace_dim)
+        log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
+                                                chunk_size=128)
+        metrics = predictive_metrics(preds, y_eval, log_probs)
+        metrics["acceptance_rate"] = res.acceptance_rate
+        metrics["num_divergent"] = res.num_divergent
+        out["metrics"] = metrics
+        out["diagnostics"] = summarize(res.samples[:, burn:, :])
+        out["ess"] = effective_sample_size(res.samples[:, burn:, :])
+
+    if store is not None:
+        store.save_config(cfg)
+        store.save_array("hmc_params", res.samples)
+        if "metrics" in out:
+            store.save_array("sample_mse", out["metrics"]["sample_mse"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Workload wrappers
+# ---------------------------------------------------------------------------
+
+def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
+           mesh=None, store: Optional[RunStore] = None):
+    """NN regression VI-HMC (reference main_VI_HMC.py)."""
+    key = jax.random.key(0) if key is None else key
+    kd, ks = jax.random.split(key)
+    if data is None:
+        data = regression_data(kd, noise_std=cfg.tau_out ** 0.5
+                               if cfg.loss == "NLL" else cfg.tau_out ** -0.5)
+    apply_flat, _, _ = make_flat_mlp(mlp_cfg)
+    out = run_subspace_hmc(
+        cfg,
+        full_forward=lambda flat: apply_flat(flat, data["x_train"]),
+        y_train=data["y_train"],
+        artifacts=artifacts,
+        key=ks,
+        eval_forward=lambda flat: apply_flat(flat, data["x_val"]),
+        y_eval=data["y_val"],
+        mesh=mesh,
+        store=store,
+    )
+    out["data"] = data
+    out["apply_flat"] = apply_flat
+    return out
+
+
+def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
+                 data=None, mat_path=None, mesh=None,
+                 store: Optional[RunStore] = None):
+    """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py)."""
+    key = jax.random.key(0) if key is None else key
+    kd, ks = jax.random.split(key)
+    if data is None:
+        train_split, valid_split = get_burgers(kd, 1000, 1000, mat_path)
+    else:
+        train_split, valid_split = data
+    apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
+
+    out = run_subspace_hmc(
+        cfg,
+        full_forward=lambda flat: apply_flat(flat, train_split["branch_in"],
+                                             train_split["trunk_in"]),
+        y_train=train_split["solution"],
+        artifacts=artifacts,
+        key=ks,
+        eval_forward=lambda flat: apply_flat(flat, valid_split["branch_in"],
+                                             valid_split["trunk_in"]),
+        y_eval=valid_split["solution"],
+        mesh=mesh,
+        store=store,
+    )
+    out["data"] = (train_split, valid_split)
+    out["apply_flat"] = apply_flat
+    return out

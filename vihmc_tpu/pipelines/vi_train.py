@@ -1,0 +1,129 @@
+"""VI training pipelines: NN regression and operator (DeepONet/Burgers).
+
+Reference: /root/reference/Neural_network/VI/main_regression_VI.py (full-batch,
+ensemble-of-10, 10k epochs) and /root/reference/Operator_network/VI/
+main_VI_deeponet.py (minibatched with per-example trunk subsampling,
+ensemble-of-5, learnable noise options).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vihmc_tpu.data.synthetic import regression_data
+from vihmc_tpu.data.burgers import get_burgers, subsample_trunk
+from vihmc_tpu.models.mlp import init_mlp
+from vihmc_tpu.models.deeponet import init_deeponet
+from vihmc_tpu.models.bayesian import init_variational
+from vihmc_tpu.vi.train import init_train_state, train, predictive_samples
+from vihmc_tpu.pipelines.common import mlp_vi_apply, deeponet_vi_apply
+from vihmc_tpu.pipelines.configs import NNVIRunConfig, OperatorVIRunConfig
+from vihmc_tpu.io.artifacts import RunStore
+
+
+def run_nn(cfg: NNVIRunConfig = NNVIRunConfig(), key=None, data=None,
+           store: Optional[RunStore] = None, init_vp=None):
+    """NN VI training. Returns dict with final/best states + metrics."""
+    key = jax.random.key(0) if key is None else key
+    kd, kp, kt = jax.random.split(key, 3)
+    if data is None:
+        data = regression_data(kd, cfg.n_train, cfg.n_val, noise_std=cfg.noise)
+
+    template = init_mlp(kp, cfg.model)
+    vp = init_vp if init_vp is not None else init_variational(
+        kp, template, cfg.posterior_mu_initial, cfg.posterior_rho_initial)
+    state = init_train_state(vp, cfg.vi)
+
+    apply_fn = mlp_vi_apply(cfg.model, cfg.mode)
+    train_batch = {"x": data["x_train"], "y": data["y_train"]}
+    valid_batch = {"x": data["x_val"], "y": data["y_val"]}
+
+    def batches_fn(key, epoch):  # full batch, one step per epoch
+        return [train_batch]
+
+    def callback(epoch, row, st):
+        if store is not None:
+            store.append_metrics_row(row)
+
+    state, best_state, metrics = train(
+        apply_fn, state, cfg.vi, batches_fn, valid_batch, train_batch,
+        train_size=data["x_train"].shape[0], key=kt, callback=callback)
+
+    if store is not None:
+        store.save_config(cfg)
+    return {"state": state, "best_state": best_state, "metrics": metrics,
+            "data": data, "apply_fn": apply_fn}
+
+
+def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
+                 data=None, mat_path: Optional[str] = None,
+                 store: Optional[RunStore] = None, init_vp=None):
+    """Operator VI training on Burgers data (generated or .mat)."""
+    key = jax.random.key(0) if key is None else key
+    kd, kp, kt = jax.random.split(key, 3)
+    if data is None:
+        train_split, valid_split = get_burgers(kd, cfg.n_train, cfg.n_valid, mat_path)
+    else:
+        train_split, valid_split = data
+
+    template = init_deeponet(kp, cfg.model)
+    vp = init_vp if init_vp is not None else init_variational(
+        kp, template, cfg.posterior_mu_initial, cfg.posterior_rho_initial)
+    state = init_train_state(vp, cfg.vi)
+
+    apply_fn = deeponet_vi_apply(cfg.model, cfg.mode)
+    n_grid = train_split["trunk_in"].shape[0]
+    subsampling = cfg.p < n_grid
+
+    def make_batches(key, split, shuffle: bool):
+        """Minibatch the function axis; per-example random trunk subsample
+        when cfg.p < grid (reference BurgersDataSet.__getitem__)."""
+        n = split["branch_in"].shape[0]
+        ks, kperm = jax.random.split(key)
+        order = jax.random.permutation(kperm, n) if shuffle else jnp.arange(n)
+        batches = []
+        for start in range(0, n, cfg.batch_size):
+            idx = order[start:start + cfg.batch_size]
+            branch = split["branch_in"][idx]
+            if subsampling:
+                ks, kb = jax.random.split(ks)
+                trunk, y = subsample_trunk(
+                    kb,
+                    {"trunk_in": split["trunk_in"], "branch_in": branch,
+                     "solution": split["solution"][idx]},
+                    cfg.p,
+                )
+            else:
+                trunk = split["trunk_in"]
+                y = split["solution"][idx]
+            batches.append({"branch": branch, "trunk": trunk, "y": y})
+        return batches
+
+    def batches_fn(key, epoch):
+        return make_batches(key, train_split, shuffle=True)
+
+    # fixed evaluation batches (first minibatch-sized slice, full grid)
+    nb = min(cfg.batch_size, cfg.n_valid)
+    valid_batch = {"branch": valid_split["branch_in"][:nb],
+                   "trunk": valid_split["trunk_in"],
+                   "y": valid_split["solution"][:nb]}
+    train_eval_batch = {"branch": train_split["branch_in"][:nb],
+                        "trunk": train_split["trunk_in"],
+                        "y": train_split["solution"][:nb]}
+
+    def callback(epoch, row, st):
+        if store is not None:
+            store.append_metrics_row(row)
+
+    train_size = cfg.n_train * n_grid  # reference: N_train * trunk points
+    state, best_state, metrics = train(
+        apply_fn, state, cfg.vi, batches_fn, valid_batch, train_eval_batch,
+        train_size=train_size, key=kt, callback=callback)
+
+    if store is not None:
+        store.save_config(cfg)
+    return {"state": state, "best_state": best_state, "metrics": metrics,
+            "data": (train_split, valid_split), "apply_fn": apply_fn}
