@@ -1,0 +1,245 @@
+"""Benchmark: ESS/s per chip for VI-HMC on the Bayesian DeepONet (Burgers).
+
+North-star metric (BASELINE.md): effective samples per second per chip for
+the flagship subspace VI-HMC pipeline at reference scale (~172k-param
+DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims,
+L=7 leapfrog steps per draw as derived by the reference's trajectory rule).
+
+``vs_baseline`` is the throughput ratio against a faithful torch-CPU
+re-implementation of the identical HMC kernel on the identical posterior
+(the reference's substrate is torch + hamiltorch on CPU/GPU; hamiltorch is
+not installable here, so the baseline times the same leapfrog/MH loop written
+directly in torch, same step size / trajectory length — per-draw ESS is then
+identical by construction and the ESS/s ratio equals the samples/s ratio).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.models import DeepONetConfig
+    from vihmc_tpu.pipelines.common import make_flat_deeponet
+
+    if quick:
+        cfg = DeepONetConfig(in_branch=21, in_trunk=5, width_branch=32,
+                             width_trunk=32, depth_branch=3, depth_trunk=3)
+        n_fn, n_pts, sub_dim, n_chains, n_samples = 32, 256, 128, 4, 20
+    else:
+        cfg = DeepONetConfig()  # reference scale
+        n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 8, 60
+
+    rng = np.random.default_rng(0)
+    apply_flat, flat0, _ = make_flat_deeponet(cfg)
+    d = flat0.shape[0]
+
+    branch_x = jnp.asarray(rng.normal(size=(n_fn, cfg.in_branch)), jnp.float32)
+    nt = int(round(n_pts ** 0.5))
+    tt, xx = np.meshgrid(np.linspace(0, 1, nt), np.linspace(0, 1, n_pts // nt),
+                         indexing="ij")
+    trunk_x = jnp.asarray(np.stack([tt.ravel(), xx.ravel()], -1), jnp.float32)
+    n_pts = trunk_x.shape[0]
+    y = jnp.asarray(rng.normal(size=(n_fn, n_pts)), jnp.float32)
+
+    mu = jnp.asarray(0.05 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.01 + 0.02 * rng.random(d), jnp.float32)
+    idx = np.sort(rng.choice(d, size=sub_dim, replace=False))
+    return cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples
+
+
+def bench_jax(quick: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.chains import sample_chains, effective_sample_size
+    from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
+    from vihmc_tpu.dists.priors import DiagonalGaussianPrior
+    from vihmc_tpu.dists.likelihoods import get_likelihood
+
+    cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
+        build_problem(quick)
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+
+    def full_ll(flat):
+        return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
+
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4)
+
+    def run(key):
+        return sample_chains(log_prob, inits, key, hmc_cfg,
+                             inv_mass=spec.sub_sigma() ** 2,
+                             aux=aux0, aux_refresh=refresh)
+
+    # compile + warm up
+    res = run(jax.random.key(1))
+    np.asarray(res.samples)
+
+    t0 = time.perf_counter()
+    res = run(jax.random.key(2))
+    samples = np.asarray(res.samples)
+    elapsed = time.perf_counter() - t0
+
+    burn = n_samples // 5
+    ess = np.asarray(effective_sample_size(jnp.asarray(samples[:, burn:, :])))
+    stats = {
+        "elapsed_s": elapsed,
+        "samples_per_s": n_chains * n_samples / elapsed,
+        "grad_evals_per_s": n_chains * n_samples * (7 + 1) / elapsed,
+        "ess_median": float(np.median(ess)),
+        "ess_per_s": float(np.median(ess)) / elapsed,
+        "acceptance": float(res.acceptance_rate),
+        "subspace_dim": samples.shape[-1],
+        "chains": n_chains,
+        "draws": n_samples,
+    }
+    return stats, (cfg, mu, sigma, idx)
+
+
+def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
+    """Identical posterior + kernel in torch on CPU (reference substrate)."""
+    import torch
+
+    torch.manual_seed(0)
+    cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
+        build_problem(quick)
+
+    mu_t = torch.tensor(np.asarray(mu))
+    sigma_t = torch.tensor(np.asarray(sigma))
+    idx_t = torch.tensor(np.asarray(idx), dtype=torch.long)
+    bx = torch.tensor(np.asarray(branch_x))
+    tx = torch.tensor(np.asarray(trunk_x))
+    yy = torch.tensor(np.asarray(y))
+
+    # torch DeepONet forward with the same architecture/params layout
+    import math
+
+    # flat-vector forward mirroring vihmc_tpu.models.deeponet ordering
+    def unpack(flat):
+        i = 1
+        b_scalar = flat[0]
+        stacks = {}
+        for name, dims in (("branch", cfg.branch_dims), ("trunk", cfg.trunk_dims)):
+            layers = []
+            for d_in, d_out in dims:
+                w = flat[i:i + d_in * d_out].view(d_out, d_in); i += d_in * d_out
+                b = flat[i:i + d_out]; i += d_out
+                layers.append((w, b))
+            stacks[name] = layers
+        return b_scalar, stacks
+
+    def bc_embed(xy):
+        keep = xy[..., 0:1]
+        x = xy[..., 1]
+        two_pi = 2 * math.pi
+        feats = torch.stack([torch.sin(two_pi * x), torch.sin(2 * two_pi * x),
+                             torch.cos(two_pi * x), torch.cos(2 * two_pi * x)], dim=-1)
+        return torch.cat([keep, feats], dim=-1)
+
+    def forward(flat):
+        b_scalar, stacks = unpack(flat)
+        h = bx
+        for w, b in stacks["branch"][:-1]:
+            h = torch.tanh(torch.nn.functional.linear(h, w, b))
+        w, b = stacks["branch"][-1]
+        bout = torch.nn.functional.linear(h, w, b)
+        h = bc_embed(tx)
+        for w, b in stacks["trunk"][:-1]:
+            h = torch.tanh(torch.nn.functional.linear(h, w, b))
+        w, b = stacks["trunk"][-1]
+        tout = torch.nn.functional.linear(h, w, b)
+        return bout @ tout.T + b_scalar
+
+    nll = torch.nn.GaussianNLLLoss(reduction="sum")
+
+    def log_prob(q_sub, frozen):
+        full = frozen.clone()
+        full[idx_t] = q_sub
+        pred = forward(full)
+        ll = -nll(pred, yy, torch.ones_like(pred))
+        pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
+        return ll + pr
+
+    q = mu_t[idx_t].clone()
+    frozen = mu_t.clone()
+    step, L = 1e-4, 7
+    inv_mass = (sigma_t[idx_t] ** 2)
+
+    def grad_lp(q):
+        q = q.detach().requires_grad_(True)
+        lp = log_prob(q, frozen)
+        (g,) = torch.autograd.grad(lp, q)
+        return lp.detach(), g
+
+    # time full HMC draws until max_seconds
+    n_done = 0
+    t0 = time.perf_counter()
+    lp0, g = grad_lp(q)
+    while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
+        frozen = mu_t + sigma_t * torch.randn_like(mu_t)  # refresh policy
+        lp0, g = grad_lp(q)
+        p = torch.randn_like(q) / inv_mass.sqrt()
+        q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
+        for _ in range(L):
+            p_new = p_new + 0.5 * step * g_new
+            q_new = q_new + step * inv_mass * p_new
+            lp1, g_new = grad_lp(q_new)
+            p_new = p_new + 0.5 * step * g_new
+        delta = (lp1 - 0.5 * (inv_mass * p_new * p_new).sum()) - \
+                (lp0 - 0.5 * (inv_mass * p * p).sum())
+        if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
+            q = q_new
+        n_done += 1
+    elapsed = time.perf_counter() - t0
+    return {"elapsed_s": elapsed, "samples_per_s": n_done / elapsed, "draws": n_done}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    jax_stats, _ = bench_jax(args.quick)
+
+    vs_baseline = float("nan")
+    if not args.skip_baseline:
+        try:
+            torch_stats = bench_torch_baseline(args.quick)
+            # one chain in torch vs n_chains on chip: per-chip throughput ratio
+            vs_baseline = jax_stats["samples_per_s"] / torch_stats["samples_per_s"]
+            jax_stats["torch_cpu_samples_per_s"] = torch_stats["samples_per_s"]
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"# baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ess_per_sec_vihmc_deeponet",
+        "value": round(jax_stats["ess_per_s"], 3),
+        "unit": "effective_samples/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline == vs_baseline else None,
+        "extras": {k: (round(v, 4) if isinstance(v, float) else v)
+                   for k, v in jax_stats.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,34 +46,36 @@ def _grf_initial_conditions(key, n, n_grid, n_modes=12, decay=2.0, amplitude=1.0
     return jnp.sum(a[..., None] * jnp.sin(phases) + b[..., None] * jnp.cos(phases), axis=1)
 
 
-def _burgers_rhs(u_hat, k, nu):
-    u = jnp.fft.irfft(u_hat, axis=-1)
-    conv = jnp.fft.rfft(0.5 * u * u, axis=-1)
-    return -1j * k * conv - nu * k * k * u_hat
-
-
 def solve_burgers(u0, nu: float = 0.05, t_final: float = 1.0, nt_save: int = 101,
                   steps_per_save: int = 20):
     """Integrate periodic viscous Burgers from u0 (..., nx); returns
     (..., nt_save, nx) snapshots at uniform times including t=0.
 
-    Pseudo-spectral in x with 2/3 dealiasing, classic RK4 in time, compiled
-    as one ``lax.scan`` — a TPU-resident data generator.
+    Pseudo-spectral in x with 2/3 dealiasing; integrating-factor RK4 in time
+    (the stiff diffusion term exp(-nu k^2 t) is handled exactly, so the step
+    is limited only by the advective CFL), compiled as one ``lax.scan`` — a
+    TPU-resident data generator.
     """
     nx = u0.shape[-1]
     k = 2 * jnp.pi * jnp.fft.rfftfreq(nx, d=1.0 / nx)
     mask = (jnp.arange(k.shape[0]) < (nx // 3 + 1)).astype(u0.dtype)  # 2/3 rule
     dt = t_final / ((nt_save - 1) * steps_per_save)
 
-    def rk4_step(u_hat, _):
-        def f(uh):
-            return _burgers_rhs(uh * mask, k, nu) * mask
+    e_half = jnp.exp(-nu * k * k * dt / 2.0)
+    e_full = e_half * e_half
 
-        k1 = f(u_hat)
-        k2 = f(u_hat + 0.5 * dt * k1)
-        k3 = f(u_hat + 0.5 * dt * k2)
-        k4 = f(u_hat + dt * k3)
-        return u_hat + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), None
+    def nonlinear(u_hat):
+        u = jnp.fft.irfft(u_hat * mask, axis=-1)
+        return -1j * k * jnp.fft.rfft(0.5 * u * u, axis=-1) * mask
+
+    def rk4_step(u_hat, _):
+        # integrating-factor RK4 (Kassam & Trefethen 2005 style)
+        k1 = nonlinear(u_hat)
+        k2 = nonlinear(e_half * (u_hat + 0.5 * dt * k1))
+        k3 = nonlinear(e_half * u_hat + 0.5 * dt * k2)
+        k4 = nonlinear(e_full * u_hat + dt * e_half * k3)
+        u_new = e_full * u_hat + dt / 6.0 * (e_full * k1 + 2 * e_half * (k2 + k3) + k4)
+        return u_new, None
 
     def save_step(u_hat, _):
         u_hat, _ = jax.lax.scan(rk4_step, u_hat, None, length=steps_per_save)

@@ -1,0 +1,9 @@
+from vihmc_tpu.ops.deeponet_merge import fused_merge_nll, merge_nll_reference
+from vihmc_tpu.ops.leapfrog import fused_leapfrog_update, leapfrog_update_reference
+
+__all__ = [
+    "fused_merge_nll",
+    "merge_nll_reference",
+    "fused_leapfrog_update",
+    "leapfrog_update_reference",
+]
