@@ -62,7 +62,7 @@ def bench_jax(quick: bool):
     import jax
     import jax.numpy as jnp
 
-    from vihmc_tpu.chains import sample_chains, effective_sample_size
+    from vihmc_tpu.chains import sample_chains, effective_sample_size_np
     from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
     from vihmc_tpu.dists.priors import DiagonalGaussianPrior
     from vihmc_tpu.dists.likelihoods import get_likelihood
@@ -100,7 +100,7 @@ def bench_jax(quick: bool):
     elapsed = time.perf_counter() - t0
 
     burn = n_samples // 5
-    ess = np.asarray(effective_sample_size(jnp.asarray(samples[:, burn:, :])))
+    ess = effective_sample_size_np(samples[:, burn:, :])
     stats = {
         "elapsed_s": elapsed,
         "samples_per_s": n_chains * n_samples / elapsed,

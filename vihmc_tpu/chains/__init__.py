@@ -1,15 +1,19 @@
 from vihmc_tpu.chains.parallel import sample_chains, make_chain_mesh, shard_batch
+from vihmc_tpu.chains.resume import sample_chains_resumable
 from vihmc_tpu.chains.diagnostics import (
     potential_scale_reduction,
     effective_sample_size,
+    effective_sample_size_np,
     summarize,
 )
 
 __all__ = [
     "sample_chains",
+    "sample_chains_resumable",
     "make_chain_mesh",
     "shard_batch",
     "potential_scale_reduction",
     "effective_sample_size",
+    "effective_sample_size_np",
     "summarize",
 ]

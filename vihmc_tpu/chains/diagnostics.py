@@ -71,6 +71,31 @@ def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(per_dim, in_axes=2)(samples)
 
 
+def effective_sample_size_np(samples) -> "np.ndarray":
+    """NumPy twin of :func:`effective_sample_size` for host-side use (e.g. the
+    benchmark, where compiling an FFT on the accelerator is wasted latency)."""
+    import numpy as np
+
+    x = np.asarray(samples)
+    c, s, d = x.shape
+    out = np.zeros(d)
+    xc = x - x.mean(axis=1, keepdims=True)
+    nfft = 2 * s
+    f = np.fft.rfft(xc, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :s, :].real / s  # (C,S,D)
+    chain_var = x.var(axis=1, ddof=1)                                    # (C,D)
+    w = chain_var.mean(axis=0)
+    b_over_n = x.mean(axis=1).var(axis=0, ddof=1) if c > 1 else np.zeros(d)
+    var_plus = w * (s - 1) / s + b_over_n
+    rho = 1.0 - (w[None, :] - acov.mean(axis=0)) / var_plus[None, :]
+    n_pairs = s // 2
+    pair = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
+    pair_min = np.minimum.accumulate(pair, axis=0)
+    tau = -1.0 + 2.0 * np.where(pair_min > 0, pair_min, 0.0).sum(axis=0)
+    tau = np.maximum(tau, 1.0 / np.log10(c * s + 10.0))
+    return c * s / tau
+
+
 def summarize(samples: jnp.ndarray) -> dict:
     """Convenience summary over (C, S, D) samples."""
     return {

@@ -1,0 +1,113 @@
+"""Preemption-safe sampling: chunked scans with checkpointed sampler state.
+
+The reference persists only final sample arrays keyed by run uid (SURVEY.md
+section 5 "Checkpoint / resume"); long TPU runs need mid-run resume. A scan
+cannot checkpoint from inside jit, so the chain is split into segments: each
+segment is one compiled scan, and between segments the full sampler state
+(positions, log-probs, grads, dual-averaging state, frozen vectors, sample
+count) plus collected samples are written via orbax. Restart picks up at the
+last completed segment — bitwise-identical to an uninterrupted run because
+per-segment PRNG keys derive from (base key, segment index).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vihmc_tpu.hmc.kernel import HMCConfig, SampleResult, make_kernel, init_state
+from vihmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint, latest_step
+
+
+def sample_chains_resumable(
+    log_prob_fn,
+    init_positions,
+    key,
+    config: HMCConfig,
+    segment_size: int,
+    checkpoint_dir: Optional[str] = None,
+    inv_mass=1.0,
+    aux=None,
+    aux_refresh=None,
+    progress: Optional[callable] = None,
+):
+    """Like :func:`vihmc_tpu.chains.sample_chains` but in checkpointed segments.
+
+    ``config.num_samples`` total draws split into ceil(N/segment_size)
+    segments. With ``checkpoint_dir`` set, state + samples persist after every
+    segment and an interrupted run resumes automatically.
+    """
+    n_chains, d = init_positions.shape
+    n_total = config.num_samples
+    n_segments = -(-n_total // segment_size)
+
+    kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass, aux_refresh=aux_refresh)
+
+    def run_segment(state, seg_idx):
+        seg_key = jax.random.fold_in(key, seg_idx)
+
+        def one_chain(chain_state, chain_idx):
+            ck = jax.random.fold_in(seg_key, chain_idx)
+            start = seg_idx * segment_size
+
+            def step(st, xs):
+                k, i = xs
+                st, info = kernel(st, k, i)
+                return st, {"position": st.position, **info}
+
+            keys = jax.random.split(ck, segment_size)
+            iters = start + jnp.arange(segment_size)
+            return jax.lax.scan(step, chain_state, (keys, iters))
+
+        return jax.vmap(one_chain)(state, jnp.arange(n_chains))
+
+    run_segment = jax.jit(run_segment, static_argnums=())
+
+    # initial or resumed state (samples are stored as plain .npy next to the
+    # orbax state checkpoint; the state restores against a live template so
+    # the flax struct / optax types survive the round trip)
+    start_seg = 0
+    collected = []
+    state = jax.vmap(lambda q: init_state(log_prob_fn, q, config, aux=aux))(init_positions)
+    if checkpoint_dir is not None:
+        step0 = latest_step(checkpoint_dir)
+        if step0 is not None:
+            payload = load_checkpoint(checkpoint_dir, step0,
+                                      template={"state": state})
+            state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+            collected = [np.load(os.path.join(checkpoint_dir, "samples.npy"))]
+            start_seg = step0
+
+    infos = {"accepted": [], "accept_prob": [], "step_size": [], "divergent": [],
+             "log_prob": []}
+    for seg in range(start_seg, n_segments):
+        state, outs = run_segment(state, seg)
+        seg_samples = np.asarray(outs["position"])  # (C, seg, D)
+        collected.append(seg_samples)
+        for k in infos:
+            infos[k].append(np.asarray(outs[k]))
+        if progress is not None:
+            progress(seg + 1, n_segments, state)
+        if checkpoint_dir is not None:
+            save_checkpoint(checkpoint_dir, seg + 1, {"state": jax.device_get(state)})
+            np.save(os.path.join(checkpoint_dir, "samples.npy"),
+                    np.concatenate(collected, axis=1))
+
+    samples = np.concatenate(collected, axis=1)[:, :n_total]
+    out_infos = {k: (np.concatenate(v, axis=1)[:, :n_total] if v else
+                     np.zeros((n_chains, 0))) for k, v in infos.items()}
+    # note: on resume the per-draw info arrays cover only the segments run in
+    # this process; samples are always complete.
+    return SampleResult(
+        samples=jnp.asarray(samples),
+        log_probs=jnp.asarray(out_infos["log_prob"]),
+        accept_probs=jnp.asarray(out_infos["accept_prob"]),
+        accepted=jnp.asarray(out_infos["accepted"]),
+        step_sizes=jnp.asarray(out_infos["step_size"]),
+        divergent=jnp.asarray(out_infos["divergent"]),
+        final_state=state,
+    )

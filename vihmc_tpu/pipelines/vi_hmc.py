@@ -77,6 +77,41 @@ def chain_inits(cfg: VIHMCRunConfig, spec: SubspaceSpec, key):
     return jax.vmap(lambda k: 0.1 * jax.random.normal(k, (spec.subspace_dim,)))(keys)
 
 
+def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forward,
+                     y_eval, samples):
+    """Posterior-predictive evaluation of (C, S, d) or (S, d) subspace samples.
+
+    Shared by live runs and the reload-and-score re-evaluation mode
+    (the reference's ``evaluate``/``eval_dt_string`` flow,
+    main_VI_HMC_burgers.py:304-349). Frozen coordinates are fixed at the VI
+    mean for deterministic evaluation.
+    """
+    like = get_likelihood(cfg.loss)
+    idx = spec.idx_array
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    burn = cfg.burn_
+
+    def lp_and_pred(q_sub):
+        full = scatter_subspace(spec.mu, q_sub, idx)
+        pred = eval_forward(full)
+        lp = like(pred.reshape(y_eval.shape), y_eval, cfg.tau_out) \
+            + prior.log_prob(q_sub)
+        return lp, pred
+
+    pooled = samples[:, burn:, :].reshape(-1, spec.subspace_dim)
+    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
+                                            chunk_size=128)
+    metrics = predictive_metrics(preds, y_eval, log_probs)
+    return {
+        "metrics": metrics,
+        "diagnostics": summarize(samples[:, burn:, :]),
+        "ess": effective_sample_size(samples[:, burn:, :]),
+        "predictions": preds,
+    }
+
+
 def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                      eval_forward=None, y_eval=None, mesh=None,
                      store: Optional[RunStore] = None):
@@ -93,28 +128,10 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     out = {"result": res, "spec": spec, "prior": prior}
     if eval_forward is not None and y_eval is not None:
-        burn = cfg.burn_
-        like = get_likelihood(cfg.loss)
-        idx = spec.idx_array
-
-        def lp_and_pred(q_sub):
-            # evaluate with frozen coordinates at the VI mean (deterministic
-            # eval counterpart of the stochastic-refresh training freeze)
-            full = scatter_subspace(spec.mu, q_sub, idx)
-            pred = eval_forward(full)
-            lp = like(pred.reshape(y_eval.shape), y_eval, cfg.tau_out) \
-                + prior.log_prob(q_sub)
-            return lp, pred
-
-        pooled = res.samples[:, burn:, :].reshape(-1, spec.subspace_dim)
-        log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
-                                                chunk_size=128)
-        metrics = predictive_metrics(preds, y_eval, log_probs)
-        metrics["acceptance_rate"] = res.acceptance_rate
-        metrics["num_divergent"] = res.num_divergent
-        out["metrics"] = metrics
-        out["diagnostics"] = summarize(res.samples[:, burn:, :])
-        out["ess"] = effective_sample_size(res.samples[:, burn:, :])
+        evald = evaluate_samples(cfg, spec, prior, eval_forward, y_eval, res.samples)
+        evald["metrics"]["acceptance_rate"] = res.acceptance_rate
+        evald["metrics"]["num_divergent"] = res.num_divergent
+        out.update(evald)
 
     if store is not None:
         store.save_config(cfg)
@@ -181,3 +198,59 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
     out["data"] = (train_split, valid_split)
     out["apply_flat"] = apply_flat
     return out
+
+
+# ---------------------------------------------------------------------------
+# Re-evaluation modes: reload saved samples, re-score without sampling
+# (the reference's test/evaluate flags, SURVEY.md section 4
+#  "Re-evaluation modes as regression harness")
+# ---------------------------------------------------------------------------
+
+def reevaluate_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, store: RunStore,
+                  key=None, data=None):
+    """Reload ``hmc_params`` from a run store and re-score on validation data
+    (reference main_VI_HMC.py ``validate``, :384-447)."""
+    key = jax.random.key(0) if key is None else key
+    if data is None:
+        data = regression_data(key, noise_std=cfg.tau_out ** 0.5
+                               if cfg.loss == "NLL" else cfg.tau_out ** -0.5)
+    apply_flat, _, _ = make_flat_mlp(mlp_cfg)
+    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
+                        mu=jnp.asarray(artifacts["mu"]),
+                        sigma=jnp.asarray(artifacts["sigma"]))
+    if cfg.load_prior:
+        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
+            (spec.subspace_dim,), cfg.prior_var ** 0.5)
+        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
+    else:
+        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    samples = store.load_array("hmc_params")
+    return evaluate_samples(cfg, spec, prior,
+                            lambda flat: apply_flat(flat, data["x_val"]),
+                            data["y_val"], samples)
+
+
+def reevaluate_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts,
+                        store: RunStore, key=None, data=None, mat_path=None):
+    """Operator twin (reference ``eval_VI_HMC``, main_VI_HMC_burgers.py:304-349)."""
+    key = jax.random.key(0) if key is None else key
+    if data is None:
+        _, valid_split = get_burgers(key, 1000, 1000, mat_path)
+    else:
+        _, valid_split = data
+    apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
+    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
+                        mu=jnp.asarray(artifacts["mu"]),
+                        sigma=jnp.asarray(artifacts["sigma"]))
+    if cfg.load_prior:
+        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
+            (spec.subspace_dim,), cfg.prior_var ** 0.5)
+        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
+    else:
+        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    samples = store.load_array("hmc_params")
+    return evaluate_samples(
+        cfg, spec, prior,
+        lambda flat: apply_flat(flat, valid_split["branch_in"],
+                                valid_split["trunk_in"]),
+        valid_split["solution"], samples)

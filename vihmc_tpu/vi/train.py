@@ -184,9 +184,28 @@ def train(
     key,
     optimizer=None,
     callback: Optional[Callable] = None,  # (epoch, metrics_row, state) -> None
+    ckpt_dir: Optional[str] = None,
+    restart: bool = False,
 ):
-    """Epoch loop. Returns (final_state, best_state, metrics ndarray)."""
+    """Epoch loop. Returns (final_state, best_state, metrics ndarray).
+
+    With ``ckpt_dir``, the best-validation state is checkpointed whenever it
+    improves and the full state every ``cfg.n_save`` epochs; ``restart=True``
+    resumes from the latest checkpoint (the reference's ``restart`` +
+    ``model_file`` flow, main_regression_VI.py:301-303,328-344).
+    """
     import numpy as np
+
+    start_epoch = 0
+    if ckpt_dir is not None and restart:
+        from vihmc_tpu.io.checkpoint import load_checkpoint, latest_step
+
+        step_no = latest_step(ckpt_dir)
+        if step_no is not None:
+            payload = load_checkpoint(ckpt_dir, step_no,
+                                      template={"state": state, "epoch": 0})
+            state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+            start_epoch = int(payload["epoch"])
 
     optimizer = optimizer or optax.adam(cfg.lr_start)
     step = make_train_step(apply_fn, cfg, train_size, optimizer)
@@ -195,7 +214,7 @@ def train(
     metrics = []
     best_state = state
     best_valid = float("inf")
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         key, ek, vk, tk = jax.random.split(key, 4)
         batches = train_batches_fn(ek, epoch)
         m = len(batches)
@@ -219,10 +238,25 @@ def train(
         if cfg.elbo.learn_noise:
             row.append(float(jnp.exp(state.noise_param)))
         metrics.append(row)
-        if float(valid_loss) < best_valid:
+        improved = float(valid_loss) < best_valid
+        if improved:
             best_valid = float(valid_loss)
             best_state = state
+        if ckpt_dir is not None:
+            from vihmc_tpu.io.checkpoint import save_checkpoint
+
+            if improved:
+                save_checkpoint(ckpt_dir + "/best", 0, {
+                    "state": jax.device_get(state), "epoch": epoch + 1})
+            if cfg.n_save and (epoch + 1) % cfg.n_save == 0:
+                save_checkpoint(ckpt_dir, epoch + 1, {
+                    "state": jax.device_get(state), "epoch": epoch + 1})
         if callback is not None:
             callback(epoch, row, state)
 
+    if ckpt_dir is not None:
+        from vihmc_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(ckpt_dir, cfg.epochs, {
+            "state": jax.device_get(state), "epoch": cfg.epochs})
     return state, best_state, np.asarray(metrics)
