@@ -5,12 +5,12 @@ the flagship subspace VI-HMC pipeline at reference scale (~172k-param
 DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims,
 L=7 leapfrog steps per draw as derived by the reference's trajectory rule).
 
-``vs_baseline`` is the throughput ratio against a faithful torch-CPU
-re-implementation of the identical HMC kernel on the identical posterior
-(the reference's substrate is torch + hamiltorch on CPU/GPU; hamiltorch is
-not installable here, so the baseline times the same leapfrog/MH loop written
-directly in torch, same step size / trajectory length — per-draw ESS is then
-identical by construction and the ESS/s ratio equals the samples/s ratio).
+``vs_baseline`` is the sampling-throughput ratio (draws/s at identical
+trajectory cost: L leapfrog steps = L+1 full-batch gradient evaluations per
+draw) against a faithful torch-CPU re-implementation of the same HMC kernel
+on the same posterior. The reference's substrate is torch + hamiltorch on
+CPU/GPU; hamiltorch is not installable here, so the baseline times the same
+leapfrog/MH loop written directly in torch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -38,7 +38,7 @@ def build_problem(quick: bool):
         n_fn, n_pts, sub_dim, n_chains, n_samples = 32, 256, 128, 4, 20
     else:
         cfg = DeepONetConfig()  # reference scale
-        n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 8, 60
+        n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 16, 120
 
     rng = np.random.default_rng(0)
     apply_flat, flat0, _ = make_flat_deeponet(cfg)
@@ -83,7 +83,10 @@ def bench_jax(quick: bool):
         return lp_like(q, aux) + prior.log_prob(q)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
-    hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4)
+    # reference trajectory rule L=7; dual-averaging during burn keeps
+    # acceptance at the 0.8 target for a fair ESS/s across scales
+    hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4,
+                        burn=n_samples // 5, sampler="hmc_nuts")
 
     def run(key):
         return sample_chains(log_prob, inits, key, hmc_cfg,

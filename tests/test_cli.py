@@ -1,0 +1,38 @@
+"""CLI smoke tests (in-process main() to avoid interpreter startup cost)."""
+
+import numpy as np
+import pytest
+
+from vihmc_tpu.pipelines.cli import build_parser, main
+
+
+def test_parser_subcommands():
+    ap = build_parser()
+    for cmd in ("hmc-full", "vi-nn", "vi-operator", "vi-hmc", "hmc-nuts",
+                "hmc-split", "bench"):
+        args = ap.parse_args([cmd] + (["--artifacts", "x"] if cmd == "vi-hmc" else []))
+        assert args.command == cmd
+
+
+def test_cli_vi_nn_with_sensitivity_then_vi_hmc(tmp_path):
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "3", "--out", out, "--uid", "demo",
+               "--with-sensitivity"])
+    assert rc == 0
+    for name in ("means_flattened", "stds_flattened", "gradient_indices"):
+        assert (tmp_path / "demo" / f"{name}.npy").exists()
+
+    rc = main(["vi-hmc", "--artifacts", str(tmp_path / "demo"),
+               "--num-samples", "8", "--num-chains", "1", "--out", out,
+               "--uid", "hmc"])
+    assert rc == 0
+    samples = np.load(tmp_path / "hmc" / "hmc_params.npy")
+    assert samples.ndim == 3 and np.isfinite(samples).all()
+
+
+def test_cli_hmc_full(tmp_path):
+    rc = main(["hmc-full", "--num-samples", "8", "--num-chains", "1",
+               "--step-size", "1e-4", "--out", str(tmp_path), "--uid", "h"])
+    assert rc == 0
+    assert (tmp_path / "h" / "hmc_params.npy").exists()
+    assert (tmp_path / "h" / "config.json").exists()

@@ -1,0 +1,182 @@
+"""Command-line entry points mirroring the reference's runnable scripts.
+
+The reference is run as ``python main_*.py`` next to a ``config.py``
+(/root/reference/README.md:20-24). Here the equivalent is
+
+    python -m vihmc_tpu <command> [flags]
+
+with one subcommand per reference entry point. Flags override the typed
+config defaults (which reproduce the reference's config modules); every run
+writes its artifacts + a JSON config snapshot into ``--out`` via
+:class:`vihmc_tpu.io.RunStore`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _common(p):
+    p.add_argument("--out", default="runs", help="artifact root directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--uid", default=None, help="run uid (default: timestamp)")
+
+
+def _print_metrics(metrics):
+    out = {}
+    for k, v in metrics.items():
+        arr = np.asarray(v)
+        out[k] = float(arr) if arr.ndim == 0 else arr.shape
+    print(json.dumps(out, default=str, indent=2))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="vihmc_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("hmc-full", help="full-parameter HMC, regression MLP")
+    _common(p)
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--step-size", type=float, default=None)
+    p.add_argument("--num-chains", type=int, default=None)
+
+    p = sub.add_parser("vi-nn", help="VI training, regression MLP")
+    _common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--mode", choices=["bbb", "lrt"], default=None)
+    p.add_argument("--with-sensitivity", action="store_true",
+                   help="also run the sensitivity stage, writing the "
+                        "VI-HMC artifact contract into the same run store")
+    p.add_argument("--threshold", type=float, default=0.90)
+
+    p = sub.add_parser("vi-operator", help="VI training, Bayesian DeepONet")
+    _common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--mat", default=None, help="path to DeepOnet_data.mat")
+    p.add_argument("--n-train", type=int, default=None)
+    p.add_argument("--n-valid", type=int, default=None)
+    p.add_argument("--with-sensitivity", action="store_true")
+    p.add_argument("--threshold", type=float, default=0.90)
+
+    p = sub.add_parser("vi-hmc", help="subspace VI-HMC from sensitivity artifacts")
+    _common(p)
+    p.add_argument("--artifacts", required=True, help="RunStore uid dir with "
+                   "means_flattened/stds_flattened/gradient_indices")
+    p.add_argument("--workload", choices=["nn", "operator"], default="nn")
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--num-chains", type=int, default=None)
+    p.add_argument("--policy", choices=["mean", "draw", "refresh"], default=None)
+    p.add_argument("--mat", default=None)
+
+    p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
+    _common(p)
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--mat", default=None)
+
+    p = sub.add_parser("hmc-split", help="split-Hamiltonian DeepONet HMC")
+    _common(p)
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--num-splits", type=int, default=None)
+    p.add_argument("--nuts", action="store_true")
+    p.add_argument("--mat", default=None)
+
+    p = sub.add_parser("bench", help="run the ESS/s benchmark")
+    p.add_argument("--quick", action="store_true")
+    return ap
+
+
+def _override(cfg, **updates):
+    updates = {k: v for k, v in updates.items() if v is not None}
+    return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def main(argv=None):
+    import jax
+
+    from vihmc_tpu.io import RunStore
+    from vihmc_tpu.pipelines import configs as C
+    from vihmc_tpu.pipelines import hmc_full, vi_train, sensitivity as sens_p
+    from vihmc_tpu.pipelines import vi_hmc, hmc_nuts, hmc_split
+
+    args = build_parser().parse_args(argv)
+    if args.command == "bench":
+        import subprocess
+
+        return subprocess.call([sys.executable, "bench.py"] +
+                               (["--quick"] if args.quick else []))
+
+    key = jax.random.key(args.seed)
+    store = RunStore(args.out, uid=args.uid)
+    print(f"run uid: {store.uid}  ->  {store.path}")
+
+    if args.command == "hmc-full":
+        cfg = _override(C.NNHMCRunConfig(), num_samples=args.num_samples,
+                        step_size=args.step_size, num_chains=args.num_chains)
+        out = hmc_full.run(cfg, key=key, store=store)
+        _print_metrics(out["metrics"])
+    elif args.command == "vi-nn":
+        cfg = C.NNVIRunConfig()
+        vi = _override(cfg.vi, epochs=args.epochs, lr_start=args.lr)
+        cfg = _override(cfg, vi=vi, mode=args.mode)
+        out = vi_train.run_nn(cfg, key=key, store=store)
+        print("final metrics row:", out["metrics"][-1].tolist())
+        if args.with_sensitivity:
+            sens = sens_p.run_nn(out["best_state"].vp, cfg.model,
+                                 out["data"]["x_val"],
+                                 C.SensitivityRunConfig(importance_threshold=args.threshold),
+                                 store=store)
+            print(f"sensitive params: {sens['num_sensitive']} "
+                  f"(artifacts in {store.path})")
+    elif args.command == "vi-operator":
+        cfg = C.OperatorVIRunConfig()
+        vi = _override(cfg.vi, epochs=args.epochs)
+        cfg = _override(cfg, vi=vi, n_train=args.n_train, n_valid=args.n_valid)
+        out = vi_train.run_operator(cfg, key=key, mat_path=args.mat, store=store)
+        print("final metrics row:", out["metrics"][-1].tolist())
+        if args.with_sensitivity:
+            sens = sens_p.run_operator(out["best_state"].vp, cfg.model,
+                                       out["data"][1],
+                                       C.SensitivityRunConfig(importance_threshold=args.threshold),
+                                       key=key, store=store)
+            print(f"sensitive params: {sens['num_sensitive']} "
+                  f"(artifacts in {store.path})")
+    elif args.command == "vi-hmc":
+        import os
+
+        root, uid = os.path.split(args.artifacts.rstrip("/"))
+        art_store = RunStore.open(root or ".", uid)
+        artifacts = {"mu": art_store.load_array("means_flattened"),
+                     "sigma": art_store.load_array("stds_flattened"),
+                     "indices": art_store.load_array("gradient_indices")}
+        cfg = _override(C.VIHMCRunConfig(), num_samples=args.num_samples,
+                        num_chains=args.num_chains, frozen_policy=args.policy)
+        if args.workload == "nn":
+            out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
+                                key=key, store=store)
+        else:
+            out = vi_hmc.run_operator(cfg, C.OperatorVIRunConfig().model,
+                                      artifacts, key=key, mat_path=args.mat,
+                                      store=store)
+        _print_metrics(out["metrics"])
+    elif args.command == "hmc-nuts":
+        cfg = _override(C.OperatorHMCRunConfig(), num_samples=args.num_samples)
+        out = hmc_nuts.run(cfg, key=key, mat_path=args.mat, store=store)
+        _print_metrics(out["metrics"])
+    elif args.command == "hmc-split":
+        cfg = _override(C.SplitHMCRunConfig(), num_samples=args.num_samples,
+                        num_splits=args.num_splits)
+        if args.nuts:
+            cfg = dataclasses.replace(cfg, is_nuts=True)
+        out = hmc_split.run(cfg, key=key, mat_path=args.mat, store=store)
+        _print_metrics(out["metrics"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
