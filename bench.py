@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 
-def build_problem(quick: bool):
+def build_problem(quick: bool, compute_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +41,7 @@ def build_problem(quick: bool):
         n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 16, 120
 
     rng = np.random.default_rng(0)
-    apply_flat, flat0, _ = make_flat_deeponet(cfg)
+    apply_flat, flat0, _ = make_flat_deeponet(cfg, compute_dtype=compute_dtype)
     d = flat0.shape[0]
 
     branch_x = jnp.asarray(rng.normal(size=(n_fn, cfg.in_branch)), jnp.float32)
@@ -58,7 +58,7 @@ def build_problem(quick: bool):
     return cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples
 
 
-def bench_jax(quick: bool):
+def bench_jax(quick: bool, compute_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ def bench_jax(quick: bool):
     from vihmc_tpu.dists.likelihoods import get_likelihood
 
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
-        build_problem(quick)
+        build_problem(quick, compute_dtype)
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
 
@@ -223,6 +223,18 @@ def main():
     args = ap.parse_args()
 
     jax_stats, _ = bench_jax(args.quick)
+
+    if not args.quick:
+        # bf16-forward headroom measurement (fp32 stays the headline: the
+        # torch baseline is fp32 and bf16 perturbs the sampled posterior)
+        try:
+            import jax.numpy as jnp
+
+            bf16_stats, _ = bench_jax(args.quick, compute_dtype=jnp.bfloat16)
+            jax_stats["bf16_samples_per_s"] = bf16_stats["samples_per_s"]
+            jax_stats["bf16_acceptance"] = bf16_stats["acceptance"]
+        except Exception as e:
+            print(f"# bf16 variant failed: {e}", file=sys.stderr)
 
     vs_baseline = float("nan")
     if not args.skip_baseline:

@@ -1,5 +1,10 @@
 from vihmc_tpu.chains.parallel import sample_chains, make_chain_mesh, shard_batch
 from vihmc_tpu.chains.resume import sample_chains_resumable
+from vihmc_tpu.chains.distributed import (
+    initialize_distributed,
+    global_chain_mesh,
+    chains_per_host,
+)
 from vihmc_tpu.chains.diagnostics import (
     potential_scale_reduction,
     effective_sample_size,
@@ -16,4 +21,7 @@ __all__ = [
     "effective_sample_size",
     "effective_sample_size_np",
     "summarize",
+    "initialize_distributed",
+    "global_chain_mesh",
+    "chains_per_host",
 ]

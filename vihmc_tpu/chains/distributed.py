@@ -1,0 +1,75 @@
+"""Multi-host setup: jax.distributed + global ('chains','data') meshes.
+
+The reference has no distributed backend (SURVEY.md section 2.5); the only
+cluster trace is a SLURM job id in run uids. TPU-natively, multi-host runs
+initialize ``jax.distributed`` (one process per host) and build the mesh over
+``jax.devices()`` — the *global* device list — so `sample_chains(mesh=...)`
+shards chains across hosts with zero code change: XLA routes the 'chains'
+axis over ICI within a slice and DCN across slices.
+
+Per-host data handling: every host loads (or generates) the same dataset and
+shards it identically (`shard_batch` places only the local shard on local
+devices under GSPMD). Chain PRNG keys derive from fold_in(chain_index), so
+chain assignment to hosts does not affect results.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed if running multi-process.
+
+    With no arguments, auto-detects the environment (TPU pods set the
+    necessary metadata; SLURM via the standard env vars). Returns True if
+    distributed mode was initialized, False for single-process runs.
+    """
+    import jax
+
+    if num_processes is None:
+        num_processes = int(os.environ.get("SLURM_NTASKS", "0")) or None
+    if process_id is None and os.environ.get("SLURM_PROCID") is not None:
+        process_id = int(os.environ["SLURM_PROCID"])
+    try:
+        if coordinator_address or (num_processes and num_processes > 1):
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+            return True
+        # TPU pod runtimes auto-detect with no arguments
+        if os.environ.get("TPU_WORKER_HOSTNAMES") and num_processes is None:
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+    except Exception:
+        return False
+    return False
+
+
+def global_chain_mesh(n_data_shards: int = 1):
+    """('chains','data') mesh over ALL processes' devices (global SPMD)."""
+    import jax
+
+    from vihmc_tpu.chains.parallel import make_chain_mesh
+
+    return make_chain_mesh(
+        n_chain_shards=len(jax.devices()) // n_data_shards,
+        n_data_shards=n_data_shards,
+        devices=jax.devices(),
+    )
+
+
+def chains_per_host(total_chains: int) -> int:
+    """Even chains-per-process split (errors on remainders, mirroring the
+    reference's equal-shard check for split-HMC)."""
+    import jax
+
+    n = jax.process_count()
+    if total_chains % n:
+        raise ValueError(f"{total_chains} chains cannot split over {n} hosts")
+    return total_chains // n

@@ -20,26 +20,48 @@ from vihmc_tpu.models.deeponet import DeepONetConfig, init_deeponet, deeponet_ap
 from vihmc_tpu.models.bayesian import bayesian_mlp_apply, bayesian_deeponet_apply
 
 
-def make_flat_mlp(cfg: MLPConfig, key=None):
-    """Returns (apply_flat(flat, x) -> y, flat0, unravel)."""
+def _cast_tree(tree, dtype):
+    return jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), tree)
+
+
+def make_flat_mlp(cfg: MLPConfig, key=None, compute_dtype=None):
+    """Returns (apply_flat(flat, x) -> y, flat0, unravel).
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward in bf16 on the MXU while
+    parameters, gradients, and the likelihood reduction stay fp32 — the
+    sampled distribution is the posterior induced by the bf16 forward
+    (deterministic, so MH remains exact for that target).
+    """
     key = jax.random.key(0) if key is None else key
     params0 = init_mlp(key, cfg)
     flat0, unravel = ravel_pytree(params0)
 
     def apply_flat(flat, x):
-        return mlp_apply(cfg, unravel(flat), x)
+        params = unravel(flat)
+        if compute_dtype is not None:
+            out = mlp_apply(cfg, _cast_tree(params, compute_dtype),
+                            jnp.asarray(x, compute_dtype))
+            return out.astype(jnp.float32)
+        return mlp_apply(cfg, params, x)
 
     return apply_flat, flat0, unravel
 
 
-def make_flat_deeponet(cfg: DeepONetConfig, key=None):
-    """Returns (apply_flat(flat, branch_x, trunk_x) -> y, flat0, unravel)."""
+def make_flat_deeponet(cfg: DeepONetConfig, key=None, compute_dtype=None):
+    """Returns (apply_flat(flat, branch_x, trunk_x) -> y, flat0, unravel).
+    See :func:`make_flat_mlp` for ``compute_dtype`` semantics."""
     key = jax.random.key(0) if key is None else key
     params0 = init_deeponet(key, cfg)
     flat0, unravel = ravel_pytree(params0)
 
     def apply_flat(flat, branch_x, trunk_x):
-        return deeponet_apply(cfg, unravel(flat), branch_x, trunk_x)
+        params = unravel(flat)
+        if compute_dtype is not None:
+            out = deeponet_apply(cfg, _cast_tree(params, compute_dtype),
+                                 jnp.asarray(branch_x, compute_dtype),
+                                 jnp.asarray(trunk_x, compute_dtype))
+            return out.astype(jnp.float32)
+        return deeponet_apply(cfg, params, branch_x, trunk_x)
 
     return apply_flat, flat0, unravel
 
