@@ -118,6 +118,38 @@ def bench_jax(quick: bool, compute_dtype=None):
     return stats, (cfg, mu, sigma, idx)
 
 
+def bench_grad_path(quick: bool, iters: int = 30):
+    """Composed vs fused-Pallas gradient-evaluation throughput at bench scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.dists.priors import IsotropicGaussianPrior
+    from vihmc_tpu.pipelines.common import (
+        make_deeponet_nll_log_posterior,
+        make_flat_deeponet,
+        make_log_posterior,
+    )
+
+    cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, *_ = build_problem(quick)
+    prior = IsotropicGaussianPrior(scale=0.1)
+    lp_ref = make_log_posterior(lambda f: apply_flat(f, branch_x, trunk_x), y,
+                                "NLL", 1.0, prior)
+    lp_fused, flat0, _ = make_deeponet_nll_log_posterior(
+        cfg, branch_x, trunk_x, y, tau_var=1.0, prior=prior)
+
+    out = {}
+    for name, lp in (("composed", lp_ref), ("fused", lp_fused)):
+        g = jax.jit(jax.grad(lp))
+        g(flat0).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        x = flat0
+        for _ in range(iters):
+            x = x + 0.0 * g(x)  # serialize without host sync per iter
+        x.block_until_ready()
+        out[f"grad_evals_per_s_{name}"] = iters / (time.perf_counter() - t0)
+    return out
+
+
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
     """Identical posterior + kernel in torch on CPU (reference substrate)."""
     import torch
@@ -220,11 +252,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--extras", action="store_true",
+                    help="also measure bf16-forward and fused-Pallas-kernel "
+                         "variants (extra compiles; not part of the headline)")
     args = ap.parse_args()
 
     jax_stats, _ = bench_jax(args.quick)
 
-    if not args.quick:
+    if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
         # torch baseline is fp32 and bf16 perturbs the sampled posterior)
         try:
@@ -235,6 +270,10 @@ def main():
             jax_stats["bf16_acceptance"] = bf16_stats["acceptance"]
         except Exception as e:
             print(f"# bf16 variant failed: {e}", file=sys.stderr)
+        try:
+            jax_stats.update(bench_grad_path(args.quick))
+        except Exception as e:
+            print(f"# fused-kernel variant failed: {e}", file=sys.stderr)
 
     vs_baseline = float("nan")
     if not args.skip_baseline:

@@ -55,6 +55,29 @@ def test_merge_nll_fallback_non_tileable():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_merge_nll_padded_matches_reference_interpret():
+    """Non-tile-aligned shapes route through the padded kernel (interpret)."""
+    rng = np.random.default_rng(4)
+    b, p, k = 100, 300, 100  # all misaligned (the reference-scale pattern)
+    bout = jnp.asarray(rng.normal(size=(b, k)) * 0.1, jnp.float32)
+    tout = jnp.asarray(rng.normal(size=(p, k)) * 0.1, jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, p)) * 0.1, jnp.float32)
+    bias = jnp.asarray(-0.7, jnp.float32)
+    want = float(merge_nll_reference(bout, tout, bias, y, 0.8))
+    got = float(fused_merge_nll(bout, tout, bias, y, 0.8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+
+    # gradients through the padded path
+    g_f = jax.grad(lambda bo, to, bi: fused_merge_nll(bo, to, bi, y, 0.8,
+                                                      interpret=True),
+                   argnums=(0, 1, 2))(bout, tout, bias)
+    g_r = jax.grad(lambda bo, to, bi: merge_nll_reference(bo, to, bi, y, 0.8),
+                   argnums=(0, 1, 2))(bout, tout, bias)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4,
+                                   atol=2e-4)
+
+
 def test_merge_nll_gradients_match():
     """Custom VJP of the fused op == autodiff of the reference."""
     rng = np.random.default_rng(3)

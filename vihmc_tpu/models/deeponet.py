@@ -113,6 +113,18 @@ def _mlp_stack(cfg, layers, x):
     return linear_apply(layers[-1], h)
 
 
+def deeponet_features(cfg: DeepONetConfig, params, branch_x, trunk_x):
+    """Branch/trunk latent features before the merge: ((B, K), (P, K)).
+
+    Exposed so fused merge+loss kernels (vihmc_tpu.ops.deeponet_merge) can
+    consume the features without materializing the (B, P) prediction.
+    Shared-query-grid path only.
+    """
+    trunk_in = bc_embedding(trunk_x) if cfg.impose_bc else trunk_x
+    return (_mlp_stack(cfg, params["branch"], branch_x),
+            _mlp_stack(cfg, params["trunk"], trunk_in))
+
+
 def deeponet_apply(cfg: DeepONetConfig, params, branch_x, trunk_x):
     """DeepONet forward.
 

@@ -59,16 +59,33 @@ def _sse_kernel(bias_ref, bout_ref, tout_ref, y_ref, acc_ref):
 def fused_merge_nll(bout, tout, bias, y, tau, interpret: bool = False):
     """-sum gaussian_nll(bout @ tout.T + bias, y, tau), Pallas on TPU.
 
-    Falls back to the jnp reference off-TPU or for shapes not divisible by
-    the tile sizes (the reference path is still a single XLA fusion).
+    Arbitrary shapes are zero-padded to the (256, 256, 128) tiling: padded
+    branch/trunk rows produce pred == bias and the targets are padded with
+    ``bias`` so padded cells contribute zero squared error (their log-var
+    constant is added back). Off-TPU the jnp reference path is used (still a
+    single XLA fusion).
     """
     b, k = bout.shape
     p = tout.shape[0]
-    on_tpu = jax.default_backend() == "tpu"
-    tileable = (b % _TILE_B == 0) and (p % _TILE_P == 0) and (k % 128 == 0)
-    if not ((on_tpu or interpret) and tileable):
+    if not (jax.default_backend() == "tpu" or interpret):
         return merge_nll_reference(bout, tout, bias, y, tau)
-    return _fused_nll_call(bout, tout, bias, y, float(tau), interpret)
+
+    pb, pp, pk = (-b) % _TILE_B, (-p) % _TILE_P, (-k) % 128
+    if pb or pp or pk:
+        bout = jnp.pad(bout, ((0, pb), (0, pk)))
+        tout = jnp.pad(tout, ((0, pp), (0, pk)))
+        if pp:
+            y = jnp.concatenate(
+                [y, jnp.broadcast_to(bias, (b, pp)).astype(y.dtype)], axis=1)
+        if pb:
+            y = jnp.concatenate(
+                [y, jnp.broadcast_to(bias, (pb, p + pp)).astype(y.dtype)], axis=0)
+    out = _fused_nll_call(bout, tout, bias, y, float(tau), interpret)
+    n_pad = (b + pb) * (p + pp) - b * p
+    if n_pad:
+        # padded cells contributed -0.5*log(var) each; remove that constant
+        out = out + 0.5 * math.log(max(float(tau), _GNLL_EPS)) * n_pad
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -91,6 +91,39 @@ def make_log_posterior(
     return log_prob
 
 
+def make_deeponet_nll_log_posterior(cfg: DeepONetConfig, branch_x, trunk_x, y,
+                                    tau_var: float, prior=None, key=None,
+                                    use_fused: bool = True):
+    """DeepONet Gaussian-NLL log-posterior with the fused Pallas merge+loss.
+
+    On TPU the (B, P) prediction matrix never hits HBM: the merge matmul and
+    the NLL reduction run tile-by-tile in one kernel
+    (:mod:`vihmc_tpu.ops.deeponet_merge`). Equivalent to composing
+    :func:`make_flat_deeponet` + ``get_likelihood('NLL')`` (fallback path).
+    Shared-query-grid, homoscedastic case (the hot path of every reference
+    operator pipeline).
+    """
+    from vihmc_tpu.models.deeponet import init_deeponet, deeponet_features
+    from vihmc_tpu.ops.deeponet_merge import fused_merge_nll, merge_nll_reference
+
+    key = jax.random.key(0) if key is None else key
+    params0 = init_deeponet(key, cfg)
+    flat0, unravel = ravel_pytree(params0)
+
+    def log_prob(flat):
+        params = unravel(flat)
+        bout, tout = deeponet_features(cfg, params, branch_x, trunk_x)
+        if use_fused:
+            ll = fused_merge_nll(bout, tout, params["b"], y, tau_var)
+        else:
+            ll = merge_nll_reference(bout, tout, params["b"], y, tau_var)
+        if prior is not None:
+            ll = ll + prior.log_prob(flat)
+        return ll
+
+    return log_prob, flat0, unravel
+
+
 # ---------------------------------------------------------------------------
 # VI-trainer adapters: batch dicts -> Bayesian model applies
 # ---------------------------------------------------------------------------

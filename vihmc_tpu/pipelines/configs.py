@@ -101,6 +101,9 @@ class VIHMCRunConfig:
     sample_prior: bool = False       # init from a VI draw instead of the mean
     frozen_policy: str = "refresh"   # 'mean' | 'draw' | 'refresh'
     vi_mass: bool = False            # precondition: inv_mass = VI sigma^2 (extension)
+    sample_data: bool = False        # random trunk-point subsampling per draw
+    p: int = 10201                   # trunk points kept when sample_data
+                                     # (reference main_VI_HMC_burgers.py:131-138)
 
     @property
     def L(self) -> int:

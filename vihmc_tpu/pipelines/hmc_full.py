@@ -83,3 +83,30 @@ def run(cfg: NNHMCRunConfig = NNHMCRunConfig(), key=None, data=None, mesh=None,
         store.save_array("sample_mse", metrics["sample_mse"])
     return {"result": res, "metrics": metrics, "diagnostics": diag, "data": data,
             "apply_flat": apply_flat}
+
+
+def reevaluate(cfg: NNHMCRunConfig, store: RunStore, key=None, data=None):
+    """Reload saved samples and re-score on validation data without sampling
+    (the reference's ``test``/``test_dtstring`` mode,
+    main_regression_hmc.py:184-185 + validate())."""
+    key = jax.random.key(0) if key is None else key
+    if data is None:
+        data = regression_data(key, cfg.n_train, cfg.n_val,
+                               noise_std=cfg.tau_out ** -0.5)
+    _, apply_flat, flat0, prior = build_log_posterior(cfg, data)
+    samples = jnp.asarray(store.load_array("hmc_params"))
+    if samples.ndim == 2:
+        samples = samples[None]
+
+    def lp_and_pred(flat):
+        pred = apply_flat(flat, data["x_val"])
+        lp = make_log_posterior(lambda f: apply_flat(f, data["x_val"]),
+                                data["y_val"], cfg.loss, cfg.tau_out, prior)(flat)
+        return lp, pred
+
+    pooled = samples[:, cfg.burn:, :].reshape(-1, flat0.shape[0])
+    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
+                                            chunk_size=256)
+    metrics = predictive_metrics(preds, data["y_val"], log_probs)
+    return {"metrics": metrics, "predictions": preds,
+            "diagnostics": summarize(samples[:, cfg.burn:, :])}

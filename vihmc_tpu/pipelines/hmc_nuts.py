@@ -94,3 +94,34 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
     return {"result": res, "metrics": metrics,
             "diagnostics": summarize(res.samples[:, cfg.burn:, :]),
             "data": (train_split, valid_split), "apply_flat": apply_flat}
+
+
+def reevaluate(cfg, store: RunStore, key=None, data=None, mat_path=None):
+    """Reload saved full-parameter samples and re-score on validation data
+    (the reference's ``evaluate``/``eval_uid`` modes for the operator HMC
+    pipelines, main_HMC_splitting.py:386-433). Works for both the NUTS and
+    split configs (same model/loss/prior fields)."""
+    key = jax.random.key(0) if key is None else key
+    if data is None:
+        _, valid_split = get_burgers(key, cfg.n_train, cfg.n_valid, mat_path)
+    else:
+        _, valid_split = data
+    apply_flat, flat0, _ = make_flat_deeponet(cfg.model)
+    like = get_likelihood(cfg.loss)
+    prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    samples = jnp.asarray(store.load_array("hmc_params"))
+    if samples.ndim == 2:
+        samples = samples[None]
+
+    def lp_and_pred(flat):
+        pred = apply_flat(flat, valid_split["branch_in"], valid_split["trunk_in"])
+        lp = like(pred.reshape(valid_split["solution"].shape),
+                  valid_split["solution"], cfg.tau_out) + prior.log_prob(flat)
+        return lp, pred
+
+    pooled = samples[:, cfg.burn:, :].reshape(-1, flat0.shape[0])
+    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
+                                            chunk_size=16)
+    metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
+    return {"metrics": metrics, "predictions": preds,
+            "diagnostics": summarize(samples[:, cfg.burn:, :])}

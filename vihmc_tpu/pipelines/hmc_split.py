@@ -87,3 +87,8 @@ def run(cfg: SplitHMCRunConfig = SplitHMCRunConfig(), key=None, data=None,
     return {"result": res, "metrics": metrics,
             "diagnostics": summarize(res.samples[:, cfg.burn:, :]),
             "data": (train_split, valid_split), "apply_flat": apply_flat}
+
+
+# reload-and-score mode (reference validate_HMC, main_HMC_splitting.py:386-426);
+# shares the full-parameter operator evaluation with the NUTS pipeline.
+from vihmc_tpu.pipelines.hmc_nuts import reevaluate  # noqa: E402,F401

@@ -114,11 +114,43 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
 
 def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                      eval_forward=None, y_eval=None, mesh=None,
-                     store: Optional[RunStore] = None):
-    """Generic subspace-HMC driver shared by NN and operator pipelines."""
-    k_frozen, k_init, k_sample = jax.random.split(key, 3)
+                     store: Optional[RunStore] = None, subsample=None):
+    """Generic subspace-HMC driver shared by NN and operator pipelines.
+
+    ``subsample``: optional dict {n_points, p, forward(flat, tidx), y_fn(tidx)}
+    enabling per-draw random query-point subsampling: the index set joins the
+    frozen vector as sampler state, both refreshed before each draw.
+    """
+    k_frozen, k_init, k_sample, k_sub = jax.random.split(key, 4)
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
         cfg, full_forward, y_train, artifacts, k_frozen)
+
+    if subsample is not None:
+        like = get_likelihood(cfg.loss)
+        idx_arr = spec.idx_array
+        sub_forward, y_fn = subsample["forward"], subsample["y_fn"]
+        n_points, p = subsample["n_points"], subsample["p"]
+
+        def log_prob(q_sub, aux):  # noqa: F811 — subsampled variant
+            frozen, tidx = aux["frozen"], aux["tidx"]
+            full = scatter_subspace(frozen, q_sub, idx_arr)
+            y_sub = y_fn(tidx)
+            ll = like(sub_forward(full, tidx).reshape(y_sub.shape), y_sub,
+                      cfg.tau_out)
+            return ll + prior.log_prob(q_sub)
+
+        frozen_refresh = refresh
+
+        def refresh(key, aux):  # noqa: F811
+            k1, k2 = jax.random.split(key)
+            frozen = (frozen_refresh(k1, aux["frozen"])
+                      if frozen_refresh is not None else aux["frozen"])
+            tidx = jax.random.choice(k2, n_points, shape=(p,), replace=False)
+            return {"frozen": frozen, "tidx": tidx}
+
+        aux0 = {"frozen": aux0,
+                "tidx": jax.random.choice(k_sub, n_points, shape=(p,),
+                                          replace=False)}
 
     inits = chain_inits(cfg, spec, k_init)
     hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
@@ -173,7 +205,14 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
 def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
                  data=None, mat_path=None, mesh=None,
                  store: Optional[RunStore] = None):
-    """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py)."""
+    """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py).
+
+    With ``cfg.sample_data`` and ``cfg.p`` below the grid size, a random
+    trunk-point subset is redrawn before every draw (the reference subsamples
+    inside each log-prob call, main_VI_HMC_burgers.py:131-138; here the index
+    set is sampler state so shapes stay static under jit and the likelihood
+    is fixed within each trajectory).
+    """
     key = jax.random.key(0) if key is None else key
     kd, ks = jax.random.split(key)
     if data is None:
@@ -181,6 +220,17 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
     else:
         train_split, valid_split = data
     apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
+
+    n_grid = train_split["trunk_in"].shape[0]
+    subsample = None
+    if cfg.sample_data and cfg.p < n_grid:
+        subsample = {
+            "n_points": n_grid,
+            "p": cfg.p,
+            "forward": lambda flat, tidx: apply_flat(
+                flat, train_split["branch_in"], train_split["trunk_in"][tidx]),
+            "y_fn": lambda tidx: train_split["solution"][:, tidx],
+        }
 
     out = run_subspace_hmc(
         cfg,
@@ -194,6 +244,7 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         y_eval=valid_split["solution"],
         mesh=mesh,
         store=store,
+        subsample=subsample,
     )
     out["data"] = (train_split, valid_split)
     out["apply_flat"] = apply_flat

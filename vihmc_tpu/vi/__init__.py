@@ -2,6 +2,7 @@ from vihmc_tpu.vi.elbo import (
     ELBOConfig,
     elbo_loss,
     get_beta,
+    accuracy,
 )
 from vihmc_tpu.vi.train import (
     VIConfig,
@@ -17,6 +18,7 @@ __all__ = [
     "ELBOConfig",
     "elbo_loss",
     "get_beta",
+    "accuracy",
     "VIConfig",
     "VITrainState",
     "init_train_state",

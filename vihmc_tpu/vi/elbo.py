@@ -59,6 +59,15 @@ def elbo_loss(cfg: ELBOConfig, prediction, target, kl, beta, train_size,
     return data_term + beta * kl
 
 
+def accuracy(outputs, targets):
+    """Classification accuracy (reference ``acc``, metrics.py:20-21):
+    argmax over the last axis vs integer targets."""
+    import numpy as np
+
+    pred = np.asarray(outputs).argmax(axis=-1)
+    return float(np.mean(pred == np.asarray(targets).reshape(pred.shape)))
+
+
 def get_beta(batch_idx: int, m: int, beta_type: Union[float, str],
              epoch: Optional[int] = None, num_epochs: Optional[int] = None) -> float:
     """KL weight schedule; semantics identical to the reference ``get_beta``."""
