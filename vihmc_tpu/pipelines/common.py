@@ -83,7 +83,11 @@ def make_log_posterior(
 
     def log_prob(flat):
         out = forward(flat)
-        ll = like(out.reshape(y.shape), y, tau_out)
+        # align shapes for elementwise (regression-type) likelihoods; leave
+        # classification logits (extra class axis) untouched
+        if out.size == y.size and out.shape != y.shape:
+            out = out.reshape(y.shape)
+        ll = like(out, y, tau_out)
         if prior is not None:
             ll = ll + prior.log_prob(flat) / prior_scale
         return ll
