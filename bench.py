@@ -58,7 +58,7 @@ def build_problem(quick: bool, compute_dtype=None):
     return cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples
 
 
-def bench_jax(quick: bool, compute_dtype=None):
+def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -66,14 +66,21 @@ def bench_jax(quick: bool, compute_dtype=None):
     from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
     from vihmc_tpu.dists.priors import DiagonalGaussianPrior
     from vihmc_tpu.dists.likelihoods import get_likelihood
+    from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
         build_problem(quick, compute_dtype)
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
 
-    def full_ll(flat):
-        return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
+    if use_fused and compute_dtype is None:
+        # fused Pallas merge+NLL likelihood (8x the composed grad path on-chip)
+        fused_ll, _, _ = make_deeponet_nll_log_posterior(
+            cfg, branch_x, trunk_x, y, tau_var=1.0, prior=None)
+        full_ll = fused_ll
+    else:
+        def full_ll(flat):
+            return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
 
     lp_like, aux0, refresh = make_subspace_log_prob(
         full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
@@ -93,9 +100,17 @@ def bench_jax(quick: bool, compute_dtype=None):
                              inv_mass=spec.sub_sigma() ** 2,
                              aux=aux0, aux_refresh=refresh)
 
-    # compile + warm up
-    res = run(jax.random.key(1))
-    np.asarray(res.samples)
+    # compile + warm up (fall back to the composed likelihood if the fused
+    # Pallas path fails to trace/compile under vmap on this backend)
+    try:
+        res = run(jax.random.key(1))
+        np.asarray(res.samples)
+    except Exception as e:
+        if use_fused and compute_dtype is None:
+            print(f"# fused likelihood failed ({type(e).__name__}); "
+                  f"falling back to composed", file=sys.stderr)
+            return bench_jax(quick, compute_dtype, use_fused=False)
+        raise
 
     t0 = time.perf_counter()
     res = run(jax.random.key(2))
