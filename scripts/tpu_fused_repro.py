@@ -1,6 +1,10 @@
 """TPU repro: vmap over the fused Pallas merge+NLL kernel (debug aid)."""
 
+import os
+import sys
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -56,4 +60,36 @@ try:
     print("padded ok:", float(v))
 except Exception:
     print("PADDED FAIL:")
+    traceback.print_exc()
+
+# 6. fully batched (bout, tout, bias all per-chain — the sampler's real pattern)
+tout6 = jnp.asarray(rng.normal(size=(3, p, k)) * 0.1, jnp.float32)
+bias6 = jnp.asarray(rng.normal(size=(3,)) * 0.1, jnp.float32)
+try:
+    v = jax.jit(jax.vmap(lambda bo, to, bi: fused_merge_nll(bo, to, bi, y, 1.0)))(
+        bout3, tout6, bias6)
+    print("full-batched ok:", np.asarray(v))
+except Exception:
+    print("FULL-BATCHED FAIL:")
+    traceback.print_exc()
+
+# 7. full-batched grad (value_and_grad over all three)
+try:
+    f = lambda bo, to, bi: fused_merge_nll(bo, to, bi, y, 1.0)
+    g = jax.jit(jax.vmap(jax.grad(f, argnums=(0, 1, 2))))(bout3, tout6, bias6)
+    print("full-batched grad ok:", [np.asarray(x).shape for x in g])
+except Exception:
+    print("FULL-BATCHED-GRAD FAIL:")
+    traceback.print_exc()
+
+# 8. batched + padded (the reference-scale sampler pattern exactly)
+bout8 = jnp.asarray(rng.normal(size=(3, 100, 100)) * 0.1, jnp.float32)
+tout8 = jnp.asarray(rng.normal(size=(3, 300, 100)) * 0.1, jnp.float32)
+y8 = jnp.asarray(rng.normal(size=(100, 300)) * 0.1, jnp.float32)
+try:
+    f = lambda bo, to, bi: fused_merge_nll(bo, to, bi, y8, 1.0)
+    g = jax.jit(jax.vmap(jax.grad(f, argnums=(0, 1, 2))))(bout8, tout8, bias6)
+    print("batched-padded grad ok:", [np.asarray(x).shape for x in g])
+except Exception:
+    print("BATCHED-PADDED FAIL:")
     traceback.print_exc()
