@@ -45,6 +45,41 @@ def shard_batch(mesh: Mesh, tree, axis: int = 0):
     return jax.tree_util.tree_map(put, tree)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
+                         mesh):
+    """One jitted multi-chain sampler per (log_prob, config, hooks, mesh).
+
+    Caching here is essential: a fresh ``jax.jit(jax.vmap(...))`` object per
+    call would retrace/recompile the entire sampling scan on every
+    invocation (on remote-compile TPU backends that costs tens of seconds —
+    it silently dominated early benchmark timings). Array-valued inputs
+    (inv_mass, aux, shard_data) are traced arguments, so the cache key is
+    only the static structure.
+    """
+
+    def one_chain(k, q0, inv_mass, aux, shard_data):
+        return sample(log_prob_fn, q0, k, config, inv_mass=inv_mass, aux=aux,
+                      aux_refresh=aux_refresh, shard_log_prob_fn=shard_log_prob_fn,
+                      shard_data=shard_data)
+
+    vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None, None))
+    if mesh is None:
+        return jax.jit(vmapped)
+
+    chain_sharding = NamedSharding(mesh, P("chains"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        vmapped,
+        in_shardings=(chain_sharding, chain_sharding, replicated, replicated,
+                      replicated),
+        out_shardings=NamedSharding(mesh, P("chains")),
+    )
+
+
 def sample_chains(
     log_prob_fn,
     init_positions: jnp.ndarray,   # (C, D)
@@ -62,23 +97,14 @@ def sample_chains(
     With ``mesh`` given, chain state/outputs are sharded over the 'chains'
     axis; per-chain PRNG keys derive deterministically from ``key`` by
     ``fold_in`` so results are independent of the mesh layout.
+
+    Repeated calls with the same (log_prob_fn, config, hooks, mesh) reuse the
+    compiled program (see :func:`_build_chain_sampler`).
     """
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
+    inv_mass = jnp.asarray(inv_mass, jnp.float32)
 
-    def one_chain(k, q0):
-        return sample(log_prob_fn, q0, k, config, inv_mass=inv_mass, aux=aux,
-                      aux_refresh=aux_refresh, shard_log_prob_fn=shard_log_prob_fn,
-                      shard_data=shard_data)
-
-    vmapped = jax.vmap(one_chain)
-    if mesh is None:
-        return jax.jit(vmapped)(chain_keys, init_positions)
-
-    chain_sharding = NamedSharding(mesh, P("chains"))
-    fn = jax.jit(
-        vmapped,
-        in_shardings=(chain_sharding, chain_sharding),
-        out_shardings=NamedSharding(mesh, P("chains")),
-    )
-    return fn(chain_keys, init_positions)
+    fn = _build_chain_sampler(log_prob_fn, config, aux_refresh,
+                              shard_log_prob_fn, mesh)
+    return fn(chain_keys, init_positions, inv_mass, aux, shard_data)
