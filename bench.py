@@ -58,10 +58,12 @@ def build_problem(quick: bool, compute_dtype=None):
     return cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples
 
 
-def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = True):
-    # fused likelihood: the merge-sums kernel carries a custom vmap rule that
-    # folds the chain axis into the Pallas grid — measured 3.4x the composed
-    # path at 16 chains (1365 vs 400 chain-grads/s at reference scale).
+def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
+    # Default composed: measured INSIDE the compiled sampling scan (after the
+    # compile-cache fix) the composed XLA likelihood reaches 2187 chain-grads/s
+    # vs 1549 for the chain-batched fused Pallas kernel at 16 chains — XLA
+    # overlaps the composed graph's HBM traffic with compute across leapfrog
+    # steps. (In isolated dispatch the ordering reverses; scripts/.)
     import jax
     import jax.numpy as jnp
 

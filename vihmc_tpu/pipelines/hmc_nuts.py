@@ -34,7 +34,7 @@ from vihmc_tpu.io.artifacts import RunStore
 
 def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
         mat_path=None, num_chains: int = 1, mesh=None,
-        store: Optional[RunStore] = None):
+        store: Optional[RunStore] = None, use_fused: bool = False):
     key = jax.random.key(0) if key is None else key
     kd, ki, ks, kt = jax.random.split(key, 4)
     if data is None:
@@ -59,9 +59,9 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
             return jax.random.choice(key, n_grid, shape=(cfg.p,), replace=False)
 
         aux0 = refresh(kt, None)
-    elif cfg.loss == "NLL":
-        # fused Pallas merge+NLL likelihood for the shared-grid hot path
-        # (chain-batched via the kernel's custom vmap rule)
+    elif use_fused and cfg.loss == "NLL":
+        # optional fused Pallas merge+NLL likelihood (composed XLA is the
+        # measured-faster default in-sampler; see docs/performance.md)
         from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
         fused_ll, _, _ = make_deeponet_nll_log_posterior(

@@ -212,7 +212,7 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
 
 def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
                  data=None, mat_path=None, mesh=None,
-                 store: Optional[RunStore] = None):
+                 store: Optional[RunStore] = None, use_fused: bool = False):
     """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py).
 
     With ``cfg.sample_data`` and ``cfg.p`` below the grid size, a random
@@ -240,11 +240,12 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
             "y_fn": lambda tidx: train_split["solution"][:, tidx],
         }
 
-    # fused Pallas merge+NLL likelihood for the hot shared-grid NLL case
-    # (the merge-sums kernel's custom vmap rule folds the chain axis into the
-    # Pallas grid: 3.4x the composed path at 16 chains — docs/performance.md)
+    # Optional fused Pallas merge+NLL likelihood. Measured in-sampler the
+    # composed XLA path is faster at multi-chain reference scale (2187 vs
+    # 1549 chain-grads/s — docs/performance.md), so composed is the default;
+    # pass use_fused=True to engage the kernel.
     full_ll = None
-    if cfg.loss == "NLL" and subsample is None:
+    if use_fused and cfg.loss == "NLL" and subsample is None:
         from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
         full_ll, _, _ = make_deeponet_nll_log_posterior(
