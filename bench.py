@@ -38,7 +38,9 @@ def build_problem(quick: bool, compute_dtype=None):
         n_fn, n_pts, sub_dim, n_chains, n_samples = 32, 256, 128, 4, 20
     else:
         cfg = DeepONetConfig()  # reference scale
-        n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 16, 120
+        # 32 chains: ESS/s optimum from scripts/tpu_chain_sweep.py
+        # (C=8: 1.55, C=16: 2.05, C=32: 2.54, C=64: 2.33 ESS/s)
+        n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 32, 120
 
     rng = np.random.default_rng(0)
     apply_flat, flat0, _ = make_flat_deeponet(cfg, compute_dtype=compute_dtype)
@@ -245,11 +247,14 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
         (g,) = torch.autograd.grad(lp, q)
         return lp.detach(), g
 
-    # time full HMC draws until max_seconds
+    # time full HMC draws until max_seconds; report the MEDIAN per-draw time
+    # so transient host contention doesn't skew the baseline either way
     n_done = 0
+    draw_times = []
     t0 = time.perf_counter()
     lp0, g = grad_lp(q)
     while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
+        td = time.perf_counter()
         frozen = mu_t + sigma_t * torch.randn_like(mu_t)  # refresh policy
         lp0, g = grad_lp(q)
         p = torch.randn_like(q) / inv_mass.sqrt()
@@ -264,8 +269,12 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
         if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
             q = q_new
         n_done += 1
+        draw_times.append(time.perf_counter() - td)
     elapsed = time.perf_counter() - t0
-    return {"elapsed_s": elapsed, "samples_per_s": n_done / elapsed, "draws": n_done}
+    import statistics
+
+    per_draw = statistics.median(draw_times) if draw_times else float("inf")
+    return {"elapsed_s": elapsed, "samples_per_s": 1.0 / per_draw, "draws": n_done}
 
 
 def main():

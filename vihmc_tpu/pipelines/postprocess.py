@@ -144,6 +144,33 @@ def plot_sensitivity_histogram(scores, path: str = "sensitivity_hist.pdf"):
     return path
 
 
+def plot_sensitivity_layers(scores, params_template, path_prefix: str = "sensitivity_layer"):
+    """Per-layer sensitivity heatmaps (reference ``plot_grads`` /
+    per-layer plots, Neural_network/VI/util.py:67-79). One image per
+    parameter tensor; returns the file list."""
+    import numpy as np
+
+    from vihmc_tpu.core.ravel import segment_slices
+    import jax
+
+    plt = _plt()
+    scores = np.asarray(scores)
+    leaves = jax.tree_util.tree_leaves(params_template)
+    paths = []
+    for i, ((start, stop), leaf) in enumerate(zip(segment_slices(params_template), leaves)):
+        block = scores[start:stop].reshape(np.shape(leaf))
+        fig, ax = plt.subplots(figsize=(6, 4))
+        if block.ndim == 1:
+            block = block[None, :]
+        im = ax.imshow(np.log10(np.maximum(block.reshape(block.shape[0], -1), 1e-30)),
+                       aspect="auto", cmap="viridis")
+        fig.colorbar(im, ax=ax, label="log10 sensitivity")
+        out = f"{path_prefix}_{i}.pdf"
+        fig.tight_layout(); fig.savefig(out, dpi=150); plt.close(fig)
+        paths.append(out)
+    return paths
+
+
 def plot_captured_variance(scores, path: str = "captured_variance.pdf"):
     """Cumulative captured-variance curve (reference ``captured_var``)."""
     plt = _plt()
