@@ -35,6 +35,35 @@ def posterior_predictive(log_prob_and_forward: Callable, samples, chunk_size: in
     return jax.vmap(one)(samples)
 
 
+def streaming_predictive_metrics(log_prob_and_forward: Callable, samples, y) -> dict:
+    """Predictive metrics WITHOUT materializing all predictions.
+
+    For S samples over an (N, P) evaluation set the stacked predictions are
+    S*N*P floats (52 GB at reference scale with thousands of pooled draws);
+    this scan carries only the running prediction sum plus per-sample
+    scalars, so memory is O(N*P). Returns the same keys as
+    :func:`predictive_metrics` plus ``mean_prediction``.
+    """
+    def step(sum_pred, s):
+        lp, pred = log_prob_and_forward(s)
+        pred = pred.reshape(y.shape)
+        mse = jnp.mean((pred - y) ** 2)
+        return sum_pred + pred, (lp, mse)
+
+    sum_pred, (log_probs, sample_mse) = jax.lax.scan(
+        step, jnp.zeros_like(y), samples)
+    mean_pred = sum_pred / samples.shape[0]
+    return {
+        "sample_mse": sample_mse,
+        "expected_mse_of_mean": jnp.mean((mean_pred - y) ** 2),
+        "mean_sample_mse": jnp.mean(sample_mse),
+        "final_mse": sample_mse[-1],
+        "min_mse": jnp.min(sample_mse),
+        "expected_log_prob": jnp.mean(log_probs),
+        "mean_prediction": mean_pred,
+    }
+
+
 def predictive_metrics(preds, y, log_probs=None) -> dict:
     """Summary metrics over stacked predictions (S, ...) vs targets."""
     preds = preds.reshape(preds.shape[0], *y.shape)

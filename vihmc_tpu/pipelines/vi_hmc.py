@@ -83,14 +83,21 @@ def chain_inits(cfg: VIHMCRunConfig, spec: SubspaceSpec, key):
 
 
 def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forward,
-                     y_eval, samples):
+                     y_eval, samples, keep_predictions: int = 64):
     """Posterior-predictive evaluation of (C, S, d) or (S, d) subspace samples.
 
     Shared by live runs and the reload-and-score re-evaluation mode
     (the reference's ``evaluate``/``eval_dt_string`` flow,
     main_VI_HMC_burgers.py:304-349). Frozen coordinates are fixed at the VI
     mean for deterministic evaluation.
+
+    Metrics stream over all pooled samples (O(eval-set) memory); the returned
+    ``predictions`` array is a uniform thinning to at most
+    ``keep_predictions`` samples (enough for predictive-band plots and
+    error-sigma statistics without materializing S x N x P floats).
     """
+    from vihmc_tpu.pipelines.predict import streaming_predictive_metrics
+
     like = get_likelihood(cfg.loss)
     idx = spec.idx_array
     samples = jnp.asarray(samples)
@@ -106,14 +113,23 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
         return lp, pred
 
     pooled = samples[:, burn:, :].reshape(-1, spec.subspace_dim)
-    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
-                                            chunk_size=128)
-    metrics = predictive_metrics(preds, y_eval, log_probs)
+    metrics = jax.jit(
+        lambda s: streaming_predictive_metrics(lp_and_pred, s, y_eval)
+    )(pooled)
+    mean_prediction = metrics.pop("mean_prediction")
+
+    preds = None
+    if keep_predictions:
+        stride = max(1, pooled.shape[0] // keep_predictions)
+        thinned = pooled[::stride][:keep_predictions]
+        _, preds = posterior_predictive(jax.jit(lp_and_pred), thinned,
+                                        chunk_size=32)
     return {
         "metrics": metrics,
         "diagnostics": summarize(samples[:, burn:, :]),
         "ess": effective_sample_size(samples[:, burn:, :]),
         "predictions": preds,
+        "mean_prediction": mean_prediction,
     }
 
 
