@@ -42,7 +42,7 @@ def main():
     else:
         model = DeepONetConfig()  # reference scale (~172k params)
         n_train, n_valid, nx, nt, p = 1000, 200, 101, 101, 512
-        epochs = args.epochs or 60
+        epochs = args.epochs or 200   # scan-path VI: one dispatch per epoch
         draws, chains = args.draws or 500, 16
 
     key = jax.random.key(0)

@@ -102,3 +102,13 @@ def test_summarize_keys():
     out = summarize(s)
     assert set(out) == {"mean", "std", "r_hat", "ess"}
     assert out["ess"].shape == (3,)
+
+
+def test_summarize_np_matches_device_version():
+    from vihmc_tpu.chains import summarize_np
+
+    s = jax.random.normal(jax.random.key(1), (3, 200, 4))
+    a = summarize(s)
+    b = summarize_np(np.asarray(s))
+    for k in ("mean", "std", "r_hat", "ess"):
+        np.testing.assert_allclose(np.asarray(a[k]), b[k], rtol=2e-4)

@@ -9,7 +9,9 @@ from vihmc_tpu.chains.diagnostics import (
     potential_scale_reduction,
     effective_sample_size,
     effective_sample_size_np,
+    potential_scale_reduction_np,
     summarize,
+    summarize_np,
 )
 
 __all__ = [
@@ -20,7 +22,9 @@ __all__ = [
     "potential_scale_reduction",
     "effective_sample_size",
     "effective_sample_size_np",
+    "potential_scale_reduction_np",
     "summarize",
+    "summarize_np",
     "initialize_distributed",
     "global_chain_mesh",
     "chains_per_host",

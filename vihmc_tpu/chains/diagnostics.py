@@ -96,6 +96,21 @@ def effective_sample_size_np(samples) -> "np.ndarray":
     return c * s / tau
 
 
+def potential_scale_reduction_np(samples):
+    """NumPy split-R-hat (host-side twin of :func:`potential_scale_reduction`)."""
+    import numpy as np
+
+    x = np.asarray(samples)
+    c, s, d = x.shape
+    half = s // 2
+    x = np.concatenate([x[:, :half], x[:, half: 2 * half]], axis=0)
+    chain_means = x.mean(axis=1)
+    b = half * chain_means.var(axis=0, ddof=1)
+    w = x.var(axis=1, ddof=1).mean(axis=0)
+    var_plus = (half - 1) / half * w + b / half
+    return np.sqrt(var_plus / w)
+
+
 def summarize(samples: jnp.ndarray) -> dict:
     """Convenience summary over (C, S, D) samples."""
     return {
@@ -103,4 +118,19 @@ def summarize(samples: jnp.ndarray) -> dict:
         "std": jnp.std(samples, axis=(0, 1)),
         "r_hat": potential_scale_reduction(samples),
         "ess": effective_sample_size(samples),
+    }
+
+
+def summarize_np(samples) -> dict:
+    """Host-side summary: required for very high-dimensional subspaces where
+    the on-device FFT autocovariance would blow HBM (e.g. a ~79k-dim
+    subspace OOM'd a 16 GB chip)."""
+    import numpy as np
+
+    x = np.asarray(samples)
+    return {
+        "mean": x.mean(axis=(0, 1)),
+        "std": x.std(axis=(0, 1)),
+        "r_hat": potential_scale_reduction_np(x),
+        "ess": effective_sample_size_np(x),
     }

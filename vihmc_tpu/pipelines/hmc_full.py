@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vihmc_tpu.chains import sample_chains, summarize
+from vihmc_tpu.chains import sample_chains, summarize_np
 from vihmc_tpu.core.ravel import per_segment_vector
 from vihmc_tpu.data.synthetic import regression_data
 from vihmc_tpu.dists.priors import PerSegmentGaussianPrior
@@ -75,7 +75,7 @@ def run(cfg: NNHMCRunConfig = NNHMCRunConfig(), key=None, data=None, mesh=None,
     metrics = predictive_metrics(preds, data["y_val"], log_probs)
     metrics["acceptance_rate"] = res.acceptance_rate
     metrics["num_divergent"] = res.num_divergent
-    diag = summarize(res.samples[:, cfg.burn:, :])
+    diag = summarize_np(res.samples[:, cfg.burn:, :])
 
     if store is not None:
         store.save_config(cfg)
@@ -109,4 +109,4 @@ def reevaluate(cfg: NNHMCRunConfig, store: RunStore, key=None, data=None):
                                             chunk_size=256)
     metrics = predictive_metrics(preds, data["y_val"], log_probs)
     return {"metrics": metrics, "predictions": preds,
-            "diagnostics": summarize(samples[:, cfg.burn:, :])}
+            "diagnostics": summarize_np(samples[:, cfg.burn:, :])}

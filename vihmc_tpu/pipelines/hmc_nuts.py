@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vihmc_tpu.chains import sample_chains, summarize
+from vihmc_tpu.chains import sample_chains, summarize_np
 from vihmc_tpu.dists.likelihoods import get_likelihood
 from vihmc_tpu.dists.priors import IsotropicGaussianPrior
 from vihmc_tpu.hmc import HMCConfig
@@ -105,7 +105,7 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
         store.save_array("hmc_params", res.samples)
         store.save_array("sample_mse", metrics["sample_mse"])
     return {"result": res, "metrics": metrics,
-            "diagnostics": summarize(res.samples[:, cfg.burn:, :]),
+            "diagnostics": summarize_np(res.samples[:, cfg.burn:, :]),
             "data": (train_split, valid_split), "apply_flat": apply_flat}
 
 
@@ -137,4 +137,4 @@ def reevaluate(cfg, store: RunStore, key=None, data=None, mat_path=None):
                                             chunk_size=16)
     metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
     return {"metrics": metrics, "predictions": preds,
-            "diagnostics": summarize(samples[:, cfg.burn:, :])}
+            "diagnostics": summarize_np(samples[:, cfg.burn:, :])}

@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from vihmc_tpu.chains import sample_chains, summarize, effective_sample_size
+from vihmc_tpu.chains import sample_chains, summarize_np, effective_sample_size_np
 from vihmc_tpu.dists.likelihoods import get_likelihood
 from vihmc_tpu.dists.priors import DiagonalGaussianPrior, IsotropicGaussianPrior
 from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
@@ -124,10 +124,12 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
         thinned = pooled[::stride][:keep_predictions]
         _, preds = posterior_predictive(jax.jit(lp_and_pred), thinned,
                                         chunk_size=32)
+    post = jax.device_get(samples[:, burn:, :])
+    diag = summarize_np(post)
     return {
         "metrics": metrics,
-        "diagnostics": summarize(samples[:, burn:, :]),
-        "ess": effective_sample_size(samples[:, burn:, :]),
+        "diagnostics": diag,
+        "ess": diag["ess"],
         "predictions": preds,
         "mean_prediction": mean_prediction,
     }

@@ -18,7 +18,15 @@ from vihmc_tpu.data.burgers import get_burgers, subsample_trunk
 from vihmc_tpu.models.mlp import init_mlp
 from vihmc_tpu.models.deeponet import init_deeponet
 from vihmc_tpu.models.bayesian import init_variational
-from vihmc_tpu.vi.train import init_train_state, train, predictive_samples
+from vihmc_tpu.vi.train import (
+    init_train_state,
+    train,
+    train_fullbatch_scan,
+    make_train_step,
+    make_eval_fn,
+    plateau_update,
+    predictive_samples,
+)
 from vihmc_tpu.pipelines.common import mlp_vi_apply, deeponet_vi_apply
 from vihmc_tpu.pipelines.configs import NNVIRunConfig, OperatorVIRunConfig
 from vihmc_tpu.io.artifacts import RunStore
@@ -41,21 +49,126 @@ def run_nn(cfg: NNVIRunConfig = NNVIRunConfig(), key=None, data=None,
     train_batch = {"x": data["x_train"], "y": data["y_train"]}
     valid_batch = {"x": data["x_val"], "y": data["y_val"]}
 
-    def batches_fn(key, epoch):  # full batch, one step per epoch
-        return [train_batch]
-
-    def callback(epoch, row, st):
+    if isinstance(cfg.vi.beta_type, float):
+        # whole training = one compiled scan (one host dispatch)
+        state, best_state, metrics = train_fullbatch_scan(
+            apply_fn, state, cfg.vi, train_batch, valid_batch,
+            train_size=data["x_train"].shape[0], key=kt)
         if store is not None:
-            store.append_metrics_row(row)
+            for row in metrics:
+                store.append_metrics_row(row)
+    else:
+        def batches_fn(key, epoch):  # full batch, one step per epoch
+            return [train_batch]
 
-    state, best_state, metrics = train(
-        apply_fn, state, cfg.vi, batches_fn, valid_batch, train_batch,
-        train_size=data["x_train"].shape[0], key=kt, callback=callback)
+        def callback(epoch, row, st):
+            if store is not None:
+                store.append_metrics_row(row)
+
+        state, best_state, metrics = train(
+            apply_fn, state, cfg.vi, batches_fn, valid_batch, train_batch,
+            train_size=data["x_train"].shape[0], key=kt, callback=callback)
 
     if store is not None:
         store.save_config(cfg)
     return {"state": state, "best_state": best_state, "metrics": metrics,
             "data": data, "apply_fn": apply_fn}
+
+
+def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
+                       subsampling, n_grid, key, store):
+    """Operator VI with each epoch as ONE compiled scan over minibatches.
+
+    The python-loop path costs ~tens of host round-trips per epoch (batch
+    gathers, subsampling draws, per-batch steps) — prohibitive on
+    remote-execution backends. Here shuffling, per-example trunk subsampling,
+    and all SGD steps for an epoch run device-side; one dispatch per epoch
+    plus one for evaluation. Constant-float beta only (the shipped configs);
+    the trailing partial minibatch is dropped (epochs reshuffle, so coverage
+    is uniform — deviation from the reference's DataLoader noted here).
+    """
+    import numpy as np
+    from vihmc_tpu.vi.elbo import get_beta
+
+    n_train = train_split["branch_in"].shape[0]
+    bs = min(cfg.batch_size, n_train)
+    n_batches = n_train // bs
+    n_grid_pts = train_split["trunk_in"].shape[0]
+    train_size = cfg.n_train * n_grid_pts
+    beta = float(cfg.vi.beta_type)
+
+    step = make_train_step(apply_fn, cfg.vi, train_size)
+    evaluate = make_eval_fn(apply_fn, cfg.vi, train_size)
+
+    branch_all = train_split["branch_in"]
+    trunk_all = train_split["trunk_in"]
+    sol_all = train_split["solution"]
+
+    @jax.jit
+    def epoch_fn(state, key):
+        kperm, kbatch = jax.random.split(key)
+        order = jax.random.permutation(kperm, n_train)[: n_batches * bs]
+        order = order.reshape(n_batches, bs)
+        keys = jax.random.split(kbatch, n_batches)
+
+        def body(state, inp):
+            idx, k = inp
+            branch = branch_all[idx]
+            if subsampling:
+                ksub, kstep = jax.random.split(k)
+                ex_keys = jax.random.split(ksub, bs)
+
+                def pick(ek, row):
+                    tidx = jax.random.choice(ek, n_grid_pts, shape=(cfg.p,),
+                                             replace=False)
+                    return trunk_all[tidx], row[tidx]
+
+                trunk, y = jax.vmap(pick)(ex_keys, sol_all[idx])
+            else:
+                kstep = k
+                trunk = trunk_all
+                y = sol_all[idx]
+            batch = {"branch": branch, "trunk": trunk, "y": y}
+            state, loss = step(state, batch, kstep, beta)
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, (order, keys))
+        return state, jnp.mean(losses)
+
+    nb = min(bs, valid_split["branch_in"].shape[0])
+    valid_batch = {"branch": valid_split["branch_in"][:nb],
+                   "trunk": valid_split["trunk_in"],
+                   "y": valid_split["solution"][:nb]}
+    train_eval_batch = {"branch": branch_all[:nb], "trunk": trunk_all,
+                        "y": sol_all[:nb]}
+
+    metrics = []
+    best_state, best_valid = state, float("inf")
+    for epoch in range(cfg.vi.epochs):
+        key, ek, vk, tk = jax.random.split(key, 4)
+        state, ep_loss = epoch_fn(state, ek)
+        valid_loss, valid_mse = evaluate(state, valid_batch, vk, beta)
+        _, train_mse = evaluate(state, train_eval_batch, tk, beta)
+        state = state.replace(
+            plateau=plateau_update(state.plateau, valid_loss, cfg.vi.patience,
+                                   cfg.vi.plateau_factor,
+                                   cfg.vi.min_lr / cfg.vi.lr_start),
+            epoch=state.epoch + 1,
+        )
+        row = [float(ep_loss), float(valid_loss), float(train_mse), float(valid_mse)]
+        if cfg.vi.elbo.learn_noise:
+            row.append(float(jnp.exp(state.noise_param)))
+        metrics.append(row)
+        if row[1] < best_valid:
+            best_valid, best_state = row[1], state
+        if store is not None:
+            store.append_metrics_row(row)
+
+    if store is not None:
+        store.save_config(cfg)
+    return {"state": state, "best_state": best_state,
+            "metrics": np.asarray(metrics),
+            "data": (train_split, valid_split), "apply_fn": apply_fn}
 
 
 def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
@@ -77,6 +190,10 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
     apply_fn = deeponet_vi_apply(cfg.model, cfg.mode)
     n_grid = train_split["trunk_in"].shape[0]
     subsampling = cfg.p < n_grid
+
+    if isinstance(cfg.vi.beta_type, float):
+        return _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
+                                  subsampling, n_grid, kt, store)
 
     def make_batches(key, split, shuffle: bool):
         """Minibatch the function axis; per-example random trunk subsample

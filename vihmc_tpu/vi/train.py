@@ -173,6 +173,93 @@ def predictive_samples(apply_fn: Callable, vp, batch, key, n: int):
     return jax.vmap(one)(jax.random.split(key, n))
 
 
+def train_fullbatch_scan(
+    apply_fn: Callable,
+    state: VITrainState,
+    cfg: VIConfig,
+    train_batch,
+    valid_batch,
+    train_size,
+    key,
+    optimizer=None,
+):
+    """Whole full-batch training as ONE compiled lax.scan over epochs.
+
+    The python-loop :func:`train` costs several host round-trips per epoch —
+    prohibitive on remote-execution backends (hundreds of ms each). This
+    variant runs every epoch (step + train/valid evaluation + plateau update
+    + best-state tracking) inside a single scan: one dispatch for the whole
+    run. Restricted to constant (float) beta and full-batch data (the NN
+    reference configuration, beta_type=1.0 at Neural_network/VI/config.py:33).
+
+    Returns (final_state, best_state, metrics (E, 4)).
+    """
+    if not isinstance(cfg.beta_type, float):
+        raise ValueError("train_fullbatch_scan requires a constant float beta")
+    optimizer = optimizer or optax.adam(cfg.lr_start)
+    loss_fn = make_loss_fn(apply_fn, cfg, train_size)
+    beta = cfg.beta_type
+
+    def sgd_step(state, batch, k):
+        if cfg.elbo.learn_noise:
+            def wrapped(params):
+                vp, noise = params
+                return loss_fn(vp, noise, batch, k, beta)
+            params = (state.vp, state.noise_param)
+        else:
+            def wrapped(params):
+                (vp,) = params
+                return loss_fn(vp, state.noise_param, batch, k, beta)
+            params = (state.vp,)
+        loss, grads = jax.value_and_grad(wrapped)(params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * state.plateau.scale, updates)
+        params = optax.apply_updates(params, updates)
+        if cfg.elbo.learn_noise:
+            vp, noise = params
+        else:
+            (vp,), noise = params, state.noise_param
+        return state.replace(vp=vp, noise_param=noise, opt_state=opt_state), loss
+
+    def mse_of(state, batch, k):
+        pred, _ = _split_pred(apply_fn(state.vp, batch, k, False))
+        return jnp.mean((pred.reshape(batch["y"].shape) - batch["y"]) ** 2)
+
+    @jax.jit
+    def run(state, key):
+        def epoch(carry, k):
+            state, best_vp, best_noise, best_valid = carry
+            ks, kv, kt = jax.random.split(k, 3)
+            state, train_loss = sgd_step(state, train_batch, ks)
+            valid_loss = loss_fn(state.vp, state.noise_param, valid_batch, kv, beta)
+            train_mse = mse_of(state, train_batch, kt)
+            valid_mse = mse_of(state, valid_batch, kt)
+            state = state.replace(
+                plateau=plateau_update(state.plateau, valid_loss, cfg.patience,
+                                       cfg.plateau_factor,
+                                       cfg.min_lr / cfg.lr_start),
+                epoch=state.epoch + 1,
+            )
+            improved = valid_loss < best_valid
+            best_vp = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(improved, new, old), state.vp, best_vp)
+            best_noise = jnp.where(improved, state.noise_param, best_noise)
+            best_valid = jnp.minimum(best_valid, valid_loss)
+            row = jnp.stack([train_loss, valid_loss, train_mse, valid_mse])
+            return (state, best_vp, best_noise, best_valid), row
+
+        keys = jax.random.split(key, cfg.epochs)
+        carry0 = (state, state.vp, state.noise_param, jnp.asarray(jnp.inf))
+        (state, best_vp, best_noise, _), rows = jax.lax.scan(epoch, carry0, keys)
+        return state, best_vp, best_noise, rows
+
+    final_state, best_vp, best_noise, rows = run(state, key)
+    best_state = final_state.replace(vp=best_vp, noise_param=best_noise)
+    import numpy as np
+
+    return final_state, best_state, np.asarray(rows)
+
+
 def train(
     apply_fn: Callable,
     state: VITrainState,
