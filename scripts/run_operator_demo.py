@@ -82,7 +82,8 @@ def main():
     hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=1e-4,
                                post_std=0.0214, num_chains=chains,
                                loss="NLL", tau_out=1.0,
-                               frozen_policy="refresh", vi_mass=True)
+                               frozen_policy="refresh", vi_mass=True,
+                               adapt_step_size=True)
     artifacts = {"mu": sens["mu"], "sigma": sens["sigma"],
                  "indices": sens["indices"]}
     out = vi_hmc.run_operator(hmc_cfg, model, artifacts, key=key, data=data,

@@ -104,6 +104,9 @@ class VIHMCRunConfig:
     sample_data: bool = False        # random trunk-point subsampling per draw
     p: int = 10201                   # trunk points kept when sample_data
                                      # (reference main_VI_HMC_burgers.py:131-138)
+    adapt_step_size: bool = False    # dual-averaging during burn (extension:
+                                     # the reference's VI-HMC uses a fixed step)
+    target_accept: float = 0.8
 
     @property
     def L(self) -> int:
