@@ -1,0 +1,109 @@
+"""NN-workload demo at the reference's exact configurations.
+
+Three-stage VI-HMC for the 1-D regression MLP with the reference's shipped
+hyperparameters (SURVEY/BASELINE): VI 10k epochs (Adam 1e-2, num_ens 10,
+beta 1.0, priors N(0,1)); sensitivity at 90% captured variance; VI-HMC
+100 draws x 10 chains, step 5e-4, L=196, NLL tau_out=0.05^2, VI-posterior
+prior + init, refresh policy. Plus the full-HMC baseline (1000 draws,
+step 1e-4, L=643, tau_out=400). Writes artifacts + a JSON summary.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/demo_nn")
+    ap.add_argument("--epochs", type=int, default=10_000)
+    ap.add_argument("--hmc-draws", type=int, default=1000)
+    ap.add_argument("--vihmc-draws", type=int, default=100)
+    args = ap.parse_args()
+
+    from vihmc_tpu.pipelines import hmc_full, vi_train, sensitivity, vi_hmc, configs as C
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.vi import VIConfig
+    from vihmc_tpu.vi.elbo import ELBOConfig
+    from vihmc_tpu.io import RunStore
+
+    key = jax.random.key(0)
+    store = RunStore(args.out)
+    print(f"artifacts -> {store.path}", flush=True)
+    summary = {}
+
+    # --- full-parameter HMC baseline (reference Neural_network/HMC config) ---
+    t0 = time.time()
+    hmc_cfg = C.NNHMCRunConfig(num_samples=args.hmc_draws)
+    hmc_out = hmc_full.run(hmc_cfg, key=key, store=store)
+    m = hmc_out["metrics"]
+    print(f"[hmc-full] {args.hmc_draws} draws (L={hmc_cfg.L}) in "
+          f"{time.time()-t0:.1f}s  accept={float(m['acceptance_rate']):.3f}  "
+          f"expectedMSE={float(m['expected_mse_of_mean']):.4f}", flush=True)
+    summary["hmc_full"] = {
+        "acceptance": float(m["acceptance_rate"]),
+        "expected_mse_of_mean": float(m["expected_mse_of_mean"]),
+        "expected_log_prob": float(m["expected_log_prob"]),
+        "ess_median": float(np.median(hmc_out["diagnostics"]["ess"])),
+    }
+
+    # --- stage 1: VI (reference Neural_network/VI config) ---
+    t0 = time.time()
+    vi_cfg = C.NNVIRunConfig(vi=VIConfig(
+        epochs=args.epochs, lr_start=1e-2, patience=100, num_ens=10,
+        beta_type=1.0, prior_mu=0.0, prior_sigma=1.0,
+        elbo=ELBOConfig(reduction="sum", fixed_noise_var=5e-2 ** 2)))
+    vi_out = vi_train.run_nn(vi_cfg, key=key, data=hmc_out["data"], store=store)
+    mm = vi_out["metrics"]
+    print(f"[vi] {args.epochs} epochs in {time.time()-t0:.1f}s  "
+          f"valid_mse {mm[0,3]:.3f} -> {mm[-1,3]:.3f}", flush=True)
+    summary["vi"] = {"valid_mse_first": float(mm[0, 3]),
+                     "valid_mse_last": float(mm[-1, 3]),
+                     "valid_mse_best": float(mm[:, 3].min())}
+
+    # --- stage 2: sensitivity (90% captured variance) ---
+    sens = sensitivity.run_nn(vi_out["best_state"].vp, vi_cfg.model,
+                              vi_out["data"]["x_val"],
+                              C.SensitivityRunConfig(importance_threshold=0.90),
+                              store=store)
+    print(f"[sensitivity] {sens['num_sensitive']}/{len(sens['scores'])} params",
+          flush=True)
+    summary["sensitivity"] = {"num_sensitive": int(sens["num_sensitive"]),
+                              "total": int(len(sens["scores"]))}
+
+    # --- stage 3: VI-HMC (reference Neural_network/VI_HMC config) ---
+    t0 = time.time()
+    vihmc_cfg = C.VIHMCRunConfig(
+        num_samples=args.vihmc_draws, step_size=5e-4, post_std=0.2501,
+        num_chains=10, loss="NLL", tau_out=5e-2 ** 2, load_prior=True,
+        load_std=True, init_prior=True, frozen_policy="refresh")
+    out = vi_hmc.run_nn(vihmc_cfg, vi_cfg.model,
+                        {"mu": sens["mu"], "sigma": sens["sigma"],
+                         "indices": sens["indices"]},
+                        key=jax.random.key(1), data=vi_out["data"], store=store)
+    met = out["metrics"]
+    print(f"[vi-hmc] 10x{args.vihmc_draws} draws (L={vihmc_cfg.L}) in "
+          f"{time.time()-t0:.1f}s  accept={float(met['acceptance_rate']):.3f}  "
+          f"expectedMSE={float(met['expected_mse_of_mean']):.4f}", flush=True)
+    summary["vi_hmc"] = {
+        "subspace_dim": int(sens["num_sensitive"]),
+        "acceptance": float(met["acceptance_rate"]),
+        "expected_mse_of_mean": float(met["expected_mse_of_mean"]),
+        "expected_log_prob": float(met["expected_log_prob"]),
+        "ess_median": float(np.median(np.asarray(out["ess"]))),
+        "r_hat_max": float(np.max(out["diagnostics"]["r_hat"])),
+    }
+
+    store.save_config(summary, name="demo_summary")
+    print(json.dumps(summary, indent=2), flush=True)
+
+
+if __name__ == "__main__":
+    main()
