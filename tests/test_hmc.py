@@ -53,6 +53,21 @@ def test_leapfrog_energy_conservation():
     assert abs(float(h1 - h0)) < 1e-3  # O(eps^2) energy error
 
 
+def test_leapfrog_symplecticity_volume_preservation():
+    """|det d(q1,p1)/d(q0,p0)| == 1 for the leapfrog map (SURVEY test plan)."""
+    vag = jax.value_and_grad(std_normal_lp)
+
+    def phase_map(z):
+        q, p = z[:2], z[2:]
+        _, g = vag(q)
+        q1, p1, _, _ = leapfrog(vag, q, p, g, 0.3, 5)
+        return jnp.concatenate([q1, p1])
+
+    z0 = jnp.array([0.7, -0.3, 0.2, 1.1])
+    jac = jax.jacfwd(phase_map)(z0)
+    np.testing.assert_allclose(abs(float(jnp.linalg.det(jac))), 1.0, rtol=1e-4)
+
+
 def test_hmc_standard_normal_moments():
     cfg = HMCConfig(num_samples=2000, num_leapfrog=8, step_size=0.35, burn=0)
     res = jax.jit(lambda k: sample(std_normal_lp, jnp.zeros(3), k, cfg))(jax.random.key(0))

@@ -55,6 +55,58 @@ def test_bayesian_linear_regression_posterior():
     np.testing.assert_allclose(corr_emp, corr_true, atol=0.2)
 
 
+def test_vi_recovers_conjugate_posterior():
+    """Mean-field VI (standard KL direction) on Bayesian linear regression
+    approaches the exact posterior's marginals (SURVEY test plan: 'VI on
+    conjugate models')."""
+    import optax
+
+    from vihmc_tpu.models import MLPConfig, init_mlp, init_variational
+    from vihmc_tpu.vi import VIConfig, init_train_state, make_train_step
+    from vihmc_tpu.vi.elbo import ELBOConfig
+    from vihmc_tpu.pipelines.common import mlp_vi_apply
+
+    rng = np.random.default_rng(0)
+    n, d = 200, 2
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w_true = jnp.asarray([0.8, -1.2])
+    noise_var = 0.04
+    y = (x @ w_true + jnp.asarray(rng.normal(size=n) * np.sqrt(noise_var),
+                                  jnp.float32)).reshape(-1, 1)
+
+    # linear model == MLP with no hidden layers and no bias anywhere
+    mlp = MLPConfig(in_dim=d, widths=(), out_dim=1, last_bias=False)
+    template = init_mlp(jax.random.key(0), mlp)
+    vp = init_variational(jax.random.key(1), template,
+                          posterior_mu_initial=(0.0, 0.1),
+                          posterior_rho_initial=(-3.0, 0.1))
+    prior_scale = 2.0
+    cfg = VIConfig(epochs=0, lr_start=2e-2, num_ens=8,
+                   prior_sigma=prior_scale, kl_direction="standard",
+                   elbo=ELBOConfig(reduction="sum", fixed_noise_var=noise_var))
+    state = init_train_state(vp, cfg)
+    step = make_train_step(mlp_vi_apply(mlp), cfg, train_size=n)
+    batch = {"x": x, "y": y}
+    key = jax.random.key(2)
+    for _ in range(800):
+        key, sk = jax.random.split(key)
+        state, _ = step(state, batch, sk, 1.0)
+
+    # exact posterior
+    xtx = np.asarray(x.T @ x)
+    S = np.linalg.inv(xtx / noise_var + np.eye(d) / prior_scale ** 2)
+    mu = S @ np.asarray(x.T @ y).ravel() / noise_var
+
+    from vihmc_tpu.models.bayesian import softplus_sigma
+
+    vi_mu = np.asarray(state.vp["mu"][0]["w"]).ravel()
+    vi_sigma = np.asarray(softplus_sigma(state.vp["rho"][0]["w"])).ravel()
+    np.testing.assert_allclose(vi_mu, mu, atol=0.03)
+    # mean-field VI underestimates correlated-posterior marginals, but here
+    # the posterior is near-diagonal: stds within 40%
+    np.testing.assert_allclose(vi_sigma, np.sqrt(np.diag(S)), rtol=0.4)
+
+
 def test_nll_and_regression_losses_consistent():
     """'NLL' with tau_out = variance and 'regression' with tau_out = 1/variance
     define the same posterior shape (constants differ)."""

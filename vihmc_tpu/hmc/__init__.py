@@ -10,6 +10,20 @@ from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update, fin
 from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
 from vihmc_tpu.hmc.subspace import FrozenPolicy, make_subspace_log_prob, SubspaceSpec
 
+
+def sample_model(*args, **kwargs):
+    """hamiltorch-style convenience wrapper (lazy import to avoid cycles)."""
+    from vihmc_tpu.hmc.api import sample_model as _sm
+
+    return _sm(*args, **kwargs)
+
+
+def predict_model(*args, **kwargs):
+    """hamiltorch-style convenience wrapper (lazy import to avoid cycles)."""
+    from vihmc_tpu.hmc.api import predict_model as _pm
+
+    return _pm(*args, **kwargs)
+
 __all__ = [
     "HMCConfig",
     "HMCState",
@@ -26,4 +40,6 @@ __all__ = [
     "FrozenPolicy",
     "make_subspace_log_prob",
     "SubspaceSpec",
+    "sample_model",
+    "predict_model",
 ]
