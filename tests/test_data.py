@@ -28,6 +28,28 @@ def test_regression_data_matches_reference_formula():
     assert np.abs(resid).max() < 0.25
 
 
+import os
+
+_REF_DATA = "/root/reference/Neural_network/Data"
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(_REF_DATA, "x_train")),
+                    reason="reference data not mounted")
+def test_load_reference_regression_data_parity():
+    """The reference's stored tensors load and match its generator's formula
+    (20 train / 300 val points, Neural_network/Data)."""
+    from vihmc_tpu.data import load_reference_regression_data
+
+    d = load_reference_regression_data(_REF_DATA)
+    assert d["x_train"].shape[0] == 20 and d["x_val"].shape[0] == 300
+    x = np.asarray(d["x_val"]).ravel()
+    np.testing.assert_allclose(np.asarray(d["y_val"]).ravel(),
+                               4 * np.sin(4 * x) + 5 * np.cos(12 * x), atol=1e-4)
+    xt = np.asarray(d["x_train"]).ravel()
+    resid = np.asarray(d["y_train"]).ravel() - (4 * np.sin(4 * xt) + 5 * np.cos(12 * xt))
+    assert np.abs(resid).max() < 0.3  # noise_std 0.05
+
+
 def test_burgers_solver_conserves_and_decays():
     """Viscous Burgers on a periodic domain: mean is conserved, energy decays."""
     key = jax.random.key(0)
