@@ -50,6 +50,35 @@ class HMCConfig:
     integrator: str = "leapfrog"        # 'leapfrog' | 'splitting'
     target_accept: float = 0.8
     store_burn: bool = True             # hamiltorch returns burn draws for plain HMC
+    adapt_mass: bool = False            # Welford diagonal mass estimation over
+                                        # the first half of burn; the estimated
+                                        # posterior variances become inv_mass at
+                                        # burn//2 (extension beyond the
+                                        # reference's identity mass)
+    jitter_l: bool = False              # per-draw uniform trajectory length in
+                                        # [1, num_leapfrog] (masked steps; same
+                                        # compute, kills resonance artifacts of
+                                        # the reference's fixed analytic L)
+
+
+@struct.dataclass
+class WelfordState:
+    """Running mean/variance of the position (diagonal mass estimation)."""
+
+    mean: jnp.ndarray
+    m2: jnp.ndarray
+    count: jnp.ndarray
+
+    def update(self, x):
+        count = self.count + 1.0
+        delta = x - self.mean
+        mean = self.mean + delta / count
+        m2 = self.m2 + delta * (x - mean)
+        return WelfordState(mean=mean, m2=m2, count=count)
+
+    @property
+    def variance(self):
+        return self.m2 / jnp.maximum(self.count - 1.0, 1.0)
 
 
 @struct.dataclass
@@ -59,6 +88,7 @@ class HMCState:
     grad: jnp.ndarray
     da: DualAveragingState
     aux: Any  # frozen-coordinate state etc.; None when unused
+    welford: Any = None  # WelfordState when adapt_mass, else None
 
 
 @struct.dataclass
@@ -99,8 +129,13 @@ def _normalize_log_prob(log_prob_fn):
 def init_state(log_prob_fn, position, config: HMCConfig, aux=None) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
     lp, g = jax.value_and_grad(fn)(position, aux)
+    welford = None
+    if config.adapt_mass:
+        welford = WelfordState(mean=jnp.zeros_like(position),
+                               m2=jnp.zeros_like(position),
+                               count=jnp.zeros((), jnp.float32))
     return HMCState(position=position, log_prob=lp, grad=g,
-                    da=da_init(config.step_size), aux=aux)
+                    da=da_init(config.step_size), aux=aux, welford=welford)
 
 
 def make_kernel(
@@ -133,7 +168,7 @@ def make_kernel(
             raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
 
     def kernel(state: HMCState, key, iteration):
-        key_mom, key_u, key_aux = jax.random.split(key, 3)
+        key_mom, key_u, key_aux, key_jit = jax.random.split(key, 4)
         in_burn = iteration < config.burn
 
         # --- frozen-coordinate refresh (first-class aux state) ---
@@ -150,9 +185,21 @@ def make_kernel(
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
 
+        # --- mass matrix: fixed, or Welford-estimated posterior variances
+        # after the first half of burn (shrunk toward identity, Stan-style) ---
+        if config.adapt_mass:
+            switch = max(config.burn // 2, 1)
+            n = state.welford.count
+            var_hat = (n / (n + 5.0)) * state.welford.variance \
+                + 1e-3 * (5.0 / (n + 5.0))
+            base = inv_mass * jnp.ones_like(state.position)
+            inv_mass_t = jnp.where(iteration >= switch, var_hat, base)
+        else:
+            inv_mass_t = inv_mass
+
         # --- momentum draw: p ~ N(0, M), M = inv_mass^-1 ---
-        p0 = jax.random.normal(key_mom, state.position.shape) / jnp.sqrt(inv_mass)
-        ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0)
+        p0 = jax.random.normal(key_mom, state.position.shape) / jnp.sqrt(inv_mass_t)
+        ke0 = 0.5 * jnp.sum(inv_mass_t * p0 * p0)
 
         # --- trajectory ---
         if config.integrator == "splitting":
@@ -162,12 +209,32 @@ def make_kernel(
                 )(q)
 
             q1, p1 = split_leapfrog(shard_vag, shard_data, state.position, p0,
-                                    eps, config.num_leapfrog, inv_mass)
+                                    eps, config.num_leapfrog, inv_mass_t)
             lp1, g1 = vag(q1, aux)
+        elif config.jitter_l:
+            # uniform random trajectory length in [1, L]: leapfrog steps past
+            # the drawn length are masked out (no extra gradient evals saved —
+            # shapes stay static — but fixed-L resonances are broken)
+            n_steps = jax.random.randint(key_jit, (), 1, config.num_leapfrog + 1)
+
+            def lf_step(carry, i):
+                q, p, g, lp = carry
+                p_half = p + 0.5 * eps * g
+                q_new = q + eps * (inv_mass_t * p_half)
+                lp_new, g_new = vag(q_new, aux)
+                p_new = p_half + 0.5 * eps * g_new
+                keep = i < n_steps
+                sel = lambda a, b: jnp.where(keep, a, b)
+                return (sel(q_new, q), sel(p_new, p), sel(g_new, g),
+                        sel(lp_new, lp)), None
+
+            (q1, p1, g1, lp1), _ = jax.lax.scan(
+                lf_step, (state.position, p0, g0, lp0),
+                jnp.arange(config.num_leapfrog))
         else:
             q1, p1, lp1, g1 = leapfrog(lambda q: vag(q, aux), state.position, p0,
-                                       g0, eps, config.num_leapfrog, inv_mass)
-        ke1 = 0.5 * jnp.sum(inv_mass * p1 * p1)
+                                       g0, eps, config.num_leapfrog, inv_mass_t)
+        ke1 = 0.5 * jnp.sum(inv_mass_t * p1 * p1)
 
         # --- Metropolis accept/reject with NaN-safe energies ---
         delta = (lp1 - ke1) - (lp0 - ke0)
@@ -181,6 +248,16 @@ def make_kernel(
         log_prob = jnp.where(accept, lp1, lp0)
         grad = jnp.where(accept, g1, g0)
 
+        # --- Welford accumulation over the first half of burn ---
+        if config.adapt_mass:
+            switch = max(config.burn // 2, 1)
+            new_w = state.welford.update(position)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(iteration < switch, a, b),
+                new_w, state.welford)
+        else:
+            welford = state.welford
+
         # --- dual averaging (burn phase only) ---
         if adapt:
             da_new = da_update(state.da, accept_prob, config.target_accept)
@@ -190,7 +267,8 @@ def make_kernel(
         else:
             da = state.da
 
-        new_state = HMCState(position=position, log_prob=log_prob, grad=grad, da=da, aux=aux)
+        new_state = HMCState(position=position, log_prob=log_prob, grad=grad,
+                             da=da, aux=aux, welford=welford)
         info = {
             "accept_prob": accept_prob,
             "accepted": accept,

@@ -106,6 +106,7 @@ class VIHMCRunConfig:
                                      # (reference main_VI_HMC_burgers.py:131-138)
     adapt_step_size: bool = False    # dual-averaging during burn (extension:
                                      # the reference's VI-HMC uses a fixed step)
+    adapt_mass: bool = False         # Welford diagonal mass during warmup
     target_accept: float = 0.8
 
     @property

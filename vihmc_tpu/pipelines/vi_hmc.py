@@ -182,7 +182,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
                         step_size=cfg.step_size, burn=cfg.burn_,
                         sampler="hmc_nuts" if cfg.adapt_step_size else "hmc",
-                        target_accept=cfg.target_accept)
+                        target_accept=cfg.target_accept,
+                        adapt_mass=cfg.adapt_mass)
     res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
                         aux=aux0, aux_refresh=refresh, mesh=mesh)
 
