@@ -9,6 +9,7 @@ from vihmc_tpu.hmc.kernel import (
 from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update, find_reasonable_step_size
 from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
 from vihmc_tpu.hmc.subspace import FrozenPolicy, make_subspace_log_prob, SubspaceSpec
+from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
 
 
 def sample_model(*args, **kwargs):
@@ -42,4 +43,6 @@ __all__ = [
     "SubspaceSpec",
     "sample_model",
     "predict_model",
+    "NUTSConfig",
+    "nuts_sample",
 ]
