@@ -32,9 +32,9 @@ def test_nuts_correlated_gaussian():
     def lp(q):
         return -0.5 * q @ prec @ q
 
-    cfg = NUTSConfig(num_samples=3000, max_depth=7, step_size=0.2, burn=1000)
+    cfg = NUTSConfig(num_samples=2000, max_depth=5, step_size=0.25, burn=500)
     res = jax.jit(lambda k: nuts_sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(1))
-    post = np.asarray(res.samples[1000:])
+    post = np.asarray(res.samples[500:])
     emp = np.cov(post.T)
     np.testing.assert_allclose(emp, np.asarray(cov), atol=0.2)
 
@@ -45,10 +45,10 @@ def test_nuts_anisotropic_with_mass_adaptation():
     def lp(q):
         return diag_normal_logpdf_sum(q, 0.0, scale)
 
-    cfg = NUTSConfig(num_samples=2500, max_depth=7, step_size=0.1, burn=1000,
+    cfg = NUTSConfig(num_samples=2000, max_depth=5, step_size=0.1, burn=800,
                      adapt_mass=True)
     res = jax.jit(lambda k: nuts_sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(2))
-    post = np.asarray(res.samples[1000:])
+    post = np.asarray(res.samples[800:])
     np.testing.assert_allclose(post.std(0), np.asarray(scale), rtol=0.3)
 
 
@@ -62,7 +62,7 @@ def test_nuts_beats_fixed_l_on_correlated_target():
         return -0.5 * q @ prec @ q
 
     n = 2000
-    nuts_cfg = NUTSConfig(num_samples=n, max_depth=6, step_size=0.25, burn=400)
+    nuts_cfg = NUTSConfig(num_samples=n, max_depth=5, step_size=0.25, burn=400)
     r_nuts = jax.jit(lambda k: nuts_sample(lp, jnp.zeros(2), k, nuts_cfg))(
         jax.random.key(3))
     hmc_cfg = HMCConfig(num_samples=n, num_leapfrog=2, step_size=0.25)
@@ -74,6 +74,35 @@ def test_nuts_beats_fixed_l_on_correlated_target():
     grads_hmc = n * 2
     # NUTS costs more grads/draw but must win on raw ESS by a large factor
     assert ess_nuts > 3 * ess_hmc
+
+
+def test_nuts_multichain_and_vihmc_pipeline():
+    from vihmc_tpu.chains import sample_chains_nuts
+    from vihmc_tpu.hmc import NUTSConfig
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines import vi_hmc, configs as C
+
+    cfg = NUTSConfig(num_samples=300, max_depth=4, step_size=0.4, burn=100)
+    res = sample_chains_nuts(std_normal_lp, jnp.zeros((3, 2)), jax.random.key(6),
+                             cfg)
+    assert res.samples.shape == (3, 300, 2)
+    post = np.asarray(res.samples[:, 100:, :])
+    np.testing.assert_allclose(post.std((0, 1)), 1.0, atol=0.15)
+
+    # VI-HMC pipeline with algorithm='nuts'
+    mlp = MLPConfig(in_dim=1, widths=(8,), out_dim=1)
+    d = mlp.num_params
+    rng = np.random.default_rng(0)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=8, replace=False))}
+    vcfg = C.VIHMCRunConfig(num_samples=20, burn=5, step_size=1e-2,
+                            num_chains=2, tau_out=5e-2 ** 2,
+                            algorithm="nuts", nuts_max_depth=3,
+                            frozen_policy="refresh")
+    out = vi_hmc.run_nn(vcfg, mlp, artifacts, key=jax.random.key(7))
+    assert out["result"].samples.shape == (2, 20, 8)
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
 
 
 def test_nuts_divergences_flagged_on_bad_step():

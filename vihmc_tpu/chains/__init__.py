@@ -1,4 +1,9 @@
-from vihmc_tpu.chains.parallel import sample_chains, make_chain_mesh, shard_batch
+from vihmc_tpu.chains.parallel import (
+    sample_chains,
+    sample_chains_nuts,
+    make_chain_mesh,
+    shard_batch,
+)
 from vihmc_tpu.chains.resume import sample_chains_resumable
 from vihmc_tpu.chains.distributed import (
     initialize_distributed,
@@ -16,6 +21,7 @@ from vihmc_tpu.chains.diagnostics import (
 
 __all__ = [
     "sample_chains",
+    "sample_chains_nuts",
     "sample_chains_resumable",
     "make_chain_mesh",
     "shard_batch",

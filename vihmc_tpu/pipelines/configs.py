@@ -108,6 +108,10 @@ class VIHMCRunConfig:
                                      # the reference's VI-HMC uses a fixed step)
     adapt_mass: bool = False         # Welford diagonal mass during warmup
     target_accept: float = 0.8
+    algorithm: str = "hmc"           # 'hmc' (reference) | 'nuts' (extension:
+                                     # adaptive trajectory lengths replace the
+                                     # analytic L rule)
+    nuts_max_depth: int = 6
 
     @property
     def L(self) -> int:

@@ -179,13 +179,27 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                           replace=False)}
 
     inits = chain_inits(cfg, spec, k_init)
-    hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
-                        step_size=cfg.step_size, burn=cfg.burn_,
-                        sampler="hmc_nuts" if cfg.adapt_step_size else "hmc",
-                        target_accept=cfg.target_accept,
-                        adapt_mass=cfg.adapt_mass)
-    res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
-                        aux=aux0, aux_refresh=refresh, mesh=mesh)
+    if cfg.algorithm == "nuts":
+        from vihmc_tpu.hmc.nuts import NUTSConfig
+        from vihmc_tpu.chains import sample_chains_nuts
+
+        nuts_cfg = NUTSConfig(num_samples=cfg.num_samples,
+                              max_depth=cfg.nuts_max_depth,
+                              step_size=cfg.step_size, burn=cfg.burn_,
+                              adapt_step_size=True,
+                              target_accept=cfg.target_accept,
+                              adapt_mass=cfg.adapt_mass)
+        res = sample_chains_nuts(log_prob, inits, k_sample, nuts_cfg,
+                                 inv_mass=inv_mass, aux=aux0,
+                                 aux_refresh=refresh, mesh=mesh)
+    else:
+        hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
+                            step_size=cfg.step_size, burn=cfg.burn_,
+                            sampler="hmc_nuts" if cfg.adapt_step_size else "hmc",
+                            target_accept=cfg.target_accept,
+                            adapt_mass=cfg.adapt_mass)
+        res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
+                            aux=aux0, aux_refresh=refresh, mesh=mesh)
 
     out = {"result": res, "spec": spec, "prior": prior}
     if eval_forward is not None and y_eval is not None:
