@@ -23,7 +23,7 @@ from vihmc_tpu.pipelines.predict import posterior_predictive, predictive_metrics
 
 
 def _flat_posterior(apply_fn, params, x, y, model_loss, tau_out, tau_list,
-                    normalizing_const=1.0):
+                    normalizing_const=None):
     flat0, unravel = ravel_pytree(params)
     like = get_likelihood(model_loss)
     n_leaves = len(jax.tree_util.tree_leaves(params))
@@ -34,9 +34,12 @@ def _flat_posterior(apply_fn, params, x, y, model_loss, tau_out, tau_list,
 
     # hamiltorch's normalizing_const rescales a minibatch likelihood to the
     # full-data scale; with full-batch data (the reference's usage,
-    # normalizing_const=N_tr) the factor is 1.
-    n_rows = jnp.shape(y)[0]
-    ll_scale = normalizing_const / n_rows
+    # normalizing_const=N_tr) the factor is 1. When not given (None), the
+    # likelihood is left unscaled.
+    if normalizing_const is None:
+        ll_scale = 1.0
+    else:
+        ll_scale = normalizing_const / jnp.shape(y)[0]
 
     def log_prob(flat):
         out = apply_fn(unravel(flat), x)
@@ -62,7 +65,7 @@ def sample_model(
     tau_list: Optional[Sequence[float]] = None,
     sampler: str = "hmc",
     inv_mass=1.0,
-    normalizing_const: float = 1.0,
+    normalizing_const: Optional[float] = None,
 ) -> SampleResult:
     """Build a flat log-posterior from (apply_fn, params) and run HMC.
 

@@ -40,15 +40,30 @@ from vihmc_tpu.data.burgers import get_burgers
 from vihmc_tpu.io.artifacts import RunStore
 
 
+def make_spec(artifacts) -> SubspaceSpec:
+    return SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
+                        mu=jnp.asarray(artifacts["mu"]),
+                        sigma=jnp.asarray(artifacts["sigma"]))
+
+
+def make_subspace_prior(cfg: VIHMCRunConfig, spec: SubspaceSpec):
+    """The subspace prior per the reference's load_prior/load_std switches
+    (main_VI_HMC_burgers.py:263-266): VI posterior (optionally with fixed
+    stds) or N(0, prior_var)."""
+    if cfg.load_prior:
+        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
+            (spec.subspace_dim,), cfg.prior_var ** 0.5)
+        return DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
+    return IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+
+
 def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts,
                              init_key, full_ll=None):
     """Assemble (log_prob(q, aux), aux0, refresh, spec, prior, inv_mass).
 
     ``full_ll`` overrides the composed likelihood (e.g. the fused Pallas
     DeepONet merge+NLL path)."""
-    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
-                        mu=jnp.asarray(artifacts["mu"]),
-                        sigma=jnp.asarray(artifacts["sigma"]))
+    spec = make_spec(artifacts)
     like = get_likelihood(cfg.loss)
 
     if full_ll is None:
@@ -57,13 +72,7 @@ def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts,
 
     policy = FrozenPolicy(cfg.frozen_policy)
     lp_like, aux0, refresh = make_subspace_log_prob(full_ll, spec, policy, init_key)
-
-    if cfg.load_prior:
-        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
-            (spec.subspace_dim,), cfg.prior_var ** 0.5)
-        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
-    else:
-        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    prior = make_subspace_prior(cfg, spec)
 
     def log_prob(q_sub, aux):
         return lp_like(q_sub, aux) + prior.log_prob(q_sub)
@@ -322,15 +331,8 @@ def reevaluate_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, store: RunStore,
         data = regression_data(key, noise_std=cfg.tau_out ** 0.5
                                if cfg.loss == "NLL" else cfg.tau_out ** -0.5)
     apply_flat, _, _ = make_flat_mlp(mlp_cfg)
-    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
-                        mu=jnp.asarray(artifacts["mu"]),
-                        sigma=jnp.asarray(artifacts["sigma"]))
-    if cfg.load_prior:
-        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
-            (spec.subspace_dim,), cfg.prior_var ** 0.5)
-        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
-    else:
-        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    spec = make_spec(artifacts)
+    prior = make_subspace_prior(cfg, spec)
     samples = store.load_array("hmc_params")
     return evaluate_samples(cfg, spec, prior,
                             lambda flat: apply_flat(flat, data["x_val"]),
@@ -346,15 +348,8 @@ def reevaluate_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts,
     else:
         _, valid_split = data
     apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
-    spec = SubspaceSpec(idx=tuple(int(i) for i in artifacts["indices"]),
-                        mu=jnp.asarray(artifacts["mu"]),
-                        sigma=jnp.asarray(artifacts["sigma"]))
-    if cfg.load_prior:
-        scale = spec.sub_sigma() if cfg.load_std else jnp.full(
-            (spec.subspace_dim,), cfg.prior_var ** 0.5)
-        prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=scale)
-    else:
-        prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
+    spec = make_spec(artifacts)
+    prior = make_subspace_prior(cfg, spec)
     samples = store.load_array("hmc_params")
     return evaluate_samples(
         cfg, spec, prior,

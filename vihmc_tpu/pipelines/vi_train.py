@@ -94,7 +94,10 @@ def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
     bs = min(cfg.batch_size, n_train)
     n_batches = n_train // bs
     n_grid_pts = train_split["trunk_in"].shape[0]
-    train_size = cfg.n_train * n_grid_pts
+    # reference convention: train_size = (actual) N_train * trunk points
+    # (Operator_network/VI/utils.py:50); use the split's true size so
+    # caller-provided datasets of a different size scale the ELBO correctly
+    train_size = n_train * n_grid_pts
     beta = float(cfg.vi.beta_type)
 
     step = make_train_step(apply_fn, cfg.vi, train_size)
@@ -235,7 +238,8 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
         if store is not None:
             store.append_metrics_row(row)
 
-    train_size = cfg.n_train * n_grid  # reference: N_train * trunk points
+    # reference: (actual) N_train * trunk points (Operator_network/VI/utils.py:50)
+    train_size = train_split["branch_in"].shape[0] * n_grid
     state, best_state, metrics = train(
         apply_fn, state, cfg.vi, batches_fn, valid_batch, train_eval_batch,
         train_size=train_size, key=kt, callback=callback)
