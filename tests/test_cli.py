@@ -30,6 +30,22 @@ def test_cli_vi_nn_with_sensitivity_then_vi_hmc(tmp_path):
     assert samples.ndim == 3 and np.isfinite(samples).all()
 
 
+def test_cli_postprocess_stacks_runs(tmp_path, capsys):
+    from vihmc_tpu.io import RunStore
+
+    s1 = RunStore(str(tmp_path), uid="a")
+    s2 = RunStore(str(tmp_path), uid="b")
+    rng = np.random.default_rng(0)
+    s1.save_array("hmc_params", rng.normal(size=(10, 3)))
+    s2.save_array("hmc_params", rng.normal(size=(2, 10, 3)))
+    out = str(tmp_path / "stacked.npy")
+    rc = main(["postprocess", "--runs", str(tmp_path / "a"), str(tmp_path / "b"),
+               "--burn", "4", "--out", out])
+    assert rc == 0
+    stacked = np.load(out)
+    assert stacked.shape == (6 + 2 * 6, 3)
+
+
 def test_cli_hmc_full(tmp_path):
     rc = main(["hmc-full", "--num-samples", "8", "--num-chains", "1",
                "--step-size", "1e-4", "--out", str(tmp_path), "--uid", "h"])

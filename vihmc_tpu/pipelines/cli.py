@@ -86,6 +86,12 @@ def build_parser():
     p.add_argument("--nuts", action="store_true")
     p.add_argument("--mat", default=None)
 
+    p = sub.add_parser("postprocess", help="stack saved runs and print error metrics")
+    p.add_argument("--runs", nargs="+", required=True,
+                   help="run directories (each containing hmc_params.npy)")
+    p.add_argument("--burn", type=int, default=0)
+    p.add_argument("--out", default=None, help="save stacked samples here (.npy)")
+
     p = sub.add_parser("bench", help="run the ESS/s benchmark")
     p.add_argument("--quick", action="store_true")
     return ap
@@ -110,6 +116,24 @@ def main(argv=None):
 
         return subprocess.call([sys.executable, "bench.py"] +
                                (["--quick"] if args.quick else []))
+    if args.command == "postprocess":
+        import os
+
+        from vihmc_tpu.pipelines.postprocess import stack_runs
+
+        stores = []
+        for r in args.runs:
+            root, uid = os.path.split(r.rstrip("/"))
+            stores.append(RunStore.open(root or ".", uid))
+        stacked = stack_runs(stores, burn=args.burn)
+        print(f"stacked {stacked.shape[0]} post-burn samples "
+              f"(dim {stacked.shape[1]}) from {len(stores)} runs")
+        print(f"pooled mean |theta|: {np.abs(stacked).mean():.5f}   "
+              f"pooled std: {stacked.std(axis=0).mean():.5f}")
+        if args.out:
+            np.save(args.out, stacked)
+            print(f"saved -> {args.out}")
+        return 0
 
     key = jax.random.key(args.seed)
     store = RunStore(args.out, uid=args.uid)
