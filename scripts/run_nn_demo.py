@@ -101,6 +101,28 @@ def main():
         "r_hat_max": float(np.max(out["diagnostics"]["r_hat"])),
     }
 
+    # --- extension: same subspace posterior with true NUTS ---
+    t0 = time.time()
+    nuts_cfg = C.VIHMCRunConfig(
+        num_samples=args.vihmc_draws, step_size=5e-4, post_std=0.2501,
+        num_chains=10, loss="NLL", tau_out=5e-2 ** 2, load_prior=True,
+        load_std=True, init_prior=True, frozen_policy="refresh",
+        algorithm="nuts", nuts_max_depth=6)
+    out_n = vi_hmc.run_nn(nuts_cfg, vi_cfg.model,
+                          {"mu": sens["mu"], "sigma": sens["sigma"],
+                           "indices": sens["indices"]},
+                          key=jax.random.key(1), data=vi_out["data"])
+    met_n = out_n["metrics"]
+    print(f"[vi-nuts] 10x{args.vihmc_draws} draws (depth 6) in "
+          f"{time.time()-t0:.1f}s  accept={float(met_n['acceptance_rate']):.3f}  "
+          f"expectedMSE={float(met_n['expected_mse_of_mean']):.4f}", flush=True)
+    summary["vi_nuts"] = {
+        "expected_mse_of_mean": float(met_n["expected_mse_of_mean"]),
+        "acceptance": float(met_n["acceptance_rate"]),
+        "ess_median": float(np.median(np.asarray(out_n["ess"]))),
+        "r_hat_max": float(np.max(out_n["diagnostics"]["r_hat"])),
+    }
+
     store.save_config(summary, name="demo_summary")
     print(json.dumps(summary, indent=2), flush=True)
 
