@@ -14,6 +14,8 @@ inside the leapfrog (GSPMD; scaling-book recipe).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -44,8 +46,6 @@ def shard_batch(mesh: Mesh, tree, axis: int = 0):
 
     return jax.tree_util.tree_map(put, tree)
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)

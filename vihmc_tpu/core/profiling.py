@@ -58,8 +58,6 @@ def sampler_throughput(result, elapsed_s: float, num_leapfrog: int,
         "elapsed_s": elapsed_s,
     }
     if ess is not None:
-        import numpy as np
-
         out["ess_median"] = float(np.median(np.asarray(ess)))
         out["ess_per_s"] = out["ess_median"] / elapsed_s
     return out

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vihmc_tpu.hmc.adaptation import da_init, da_update
+from vihmc_tpu.hmc.adaptation import da_update
 from vihmc_tpu.hmc.kernel import (
     HMCState,
     SampleResult,

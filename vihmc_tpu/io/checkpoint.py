@@ -53,7 +53,5 @@ def load_checkpoint(directory: str, step: Optional[int] = None, template: Any = 
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
     if template is not None:
-        import orbax.checkpoint as ocp
-
         return _checkpointer().restore(path, item=jax.device_get(template))
     return _checkpointer().restore(path)

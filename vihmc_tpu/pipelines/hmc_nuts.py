@@ -32,6 +32,28 @@ from vihmc_tpu.data.burgers import get_burgers
 from vihmc_tpu.io.artifacts import RunStore
 
 
+def score_on_validation(cfg, apply_flat, prior, valid_split, samples, burn):
+    """Pooled posterior-predictive scoring of full-parameter samples on the
+    validation split (shared by the NUTS/split runs and their reevaluate
+    modes). Returns (metrics, preds, log_probs)."""
+    like = get_likelihood(cfg.loss)
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+
+    def lp_and_pred(flat):
+        pred = apply_flat(flat, valid_split["branch_in"], valid_split["trunk_in"])
+        lp = like(pred.reshape(valid_split["solution"].shape),
+                  valid_split["solution"], cfg.tau_out) + prior.log_prob(flat)
+        return lp, pred
+
+    pooled = samples[:, burn:, :].reshape(-1, samples.shape[-1])
+    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
+                                            chunk_size=16)
+    metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
+    return metrics, preds, log_probs
+
+
 def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
         mat_path=None, num_chains: int = 1, mesh=None,
         store: Optional[RunStore] = None, use_fused: bool = False):
@@ -88,15 +110,8 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
     res = sample_chains(log_prob, inits, ks, hmc_cfg, aux=aux0,
                         aux_refresh=refresh, mesh=mesh)
 
-    def lp_and_pred(flat):
-        pred = apply_flat(flat, valid_split["branch_in"], valid_split["trunk_in"])
-        lp = like(pred.reshape(valid_split["solution"].shape),
-                  valid_split["solution"], cfg.tau_out) + prior.log_prob(flat)
-        return lp, pred
-
-    pooled = res.samples[:, cfg.burn:, :].reshape(-1, flat0.shape[0])
-    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled, chunk_size=16)
-    metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
+    metrics, preds, log_probs = score_on_validation(
+        cfg, apply_flat, prior, valid_split, res.samples, cfg.burn)
     metrics["acceptance_rate"] = res.acceptance_rate
     metrics["adapted_step_size"] = res.step_sizes[..., -1]
 
@@ -119,22 +134,12 @@ def reevaluate(cfg, store: RunStore, key=None, data=None, mat_path=None):
         _, valid_split = get_burgers(key, cfg.n_train, cfg.n_valid, mat_path)
     else:
         _, valid_split = data
-    apply_flat, flat0, _ = make_flat_deeponet(cfg.model)
-    like = get_likelihood(cfg.loss)
+    apply_flat, _, _ = make_flat_deeponet(cfg.model)
     prior = IsotropicGaussianPrior(scale=cfg.prior_var ** 0.5)
     samples = jnp.asarray(store.load_array("hmc_params"))
     if samples.ndim == 2:
         samples = samples[None]
-
-    def lp_and_pred(flat):
-        pred = apply_flat(flat, valid_split["branch_in"], valid_split["trunk_in"])
-        lp = like(pred.reshape(valid_split["solution"].shape),
-                  valid_split["solution"], cfg.tau_out) + prior.log_prob(flat)
-        return lp, pred
-
-    pooled = samples[:, cfg.burn:, :].reshape(-1, flat0.shape[0])
-    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled,
-                                            chunk_size=16)
-    metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
+    metrics, preds, _ = score_on_validation(cfg, apply_flat, prior, valid_split,
+                                            samples, cfg.burn)
     return {"metrics": metrics, "predictions": preds,
             "diagnostics": summarize_np(samples[:, cfg.burn:, :])}

@@ -69,15 +69,10 @@ def run(cfg: SplitHMCRunConfig = SplitHMCRunConfig(), key=None, data=None,
                         shard_log_prob_fn=shard_log_prob, shard_data=shard_data,
                         mesh=mesh)
 
-    def lp_and_pred(flat):
-        pred = apply_flat(flat, valid_split["branch_in"], valid_split["trunk_in"])
-        lp = like(pred.reshape(valid_split["solution"].shape),
-                  valid_split["solution"], cfg.tau_out) + prior.log_prob(flat)
-        return lp, pred
+    from vihmc_tpu.pipelines.hmc_nuts import score_on_validation
 
-    pooled = res.samples[:, cfg.burn:, :].reshape(-1, flat0.shape[0])
-    log_probs, preds = posterior_predictive(jax.jit(lp_and_pred), pooled, chunk_size=16)
-    metrics = predictive_metrics(preds, valid_split["solution"], log_probs)
+    metrics, preds, log_probs = score_on_validation(
+        cfg, apply_flat, prior, valid_split, res.samples, cfg.burn)
     metrics["acceptance_rate"] = res.acceptance_rate
 
     if store is not None:

@@ -118,33 +118,40 @@ def make_loss_fn(apply_fn: Callable, cfg: VIConfig, train_size):
     return loss_fn
 
 
+def _sgd_update(loss_fn, optimizer, cfg: VIConfig, state: VITrainState,
+                batch, key, beta):
+    """One ELBO gradient step (shared by the jitted step and the scan paths);
+    plateau scale multiplies the updates (= lr scale)."""
+    if cfg.elbo.learn_noise:
+        def wrapped(params):
+            vp, noise = params
+            return loss_fn(vp, noise, batch, key, beta)
+        params = (state.vp, state.noise_param)
+    else:
+        def wrapped(params):
+            (vp,) = params
+            return loss_fn(vp, state.noise_param, batch, key, beta)
+        params = (state.vp,)
+
+    loss, grads = jax.value_and_grad(wrapped)(params)
+    updates, opt_state = optimizer.update(grads, state.opt_state, params)
+    updates = jax.tree_util.tree_map(lambda u: u * state.plateau.scale, updates)
+    params = optax.apply_updates(params, updates)
+    if cfg.elbo.learn_noise:
+        vp, noise = params
+    else:
+        (vp,), noise = params, state.noise_param
+    return state.replace(vp=vp, noise_param=noise, opt_state=opt_state), loss
+
+
 def make_train_step(apply_fn: Callable, cfg: VIConfig, train_size, optimizer=None):
-    """Jitted SGD step; plateau scale multiplies the Adam updates (= lr scale)."""
+    """Jitted SGD step."""
     optimizer = optimizer or optax.adam(cfg.lr_start)
     loss_fn = make_loss_fn(apply_fn, cfg, train_size)
 
     @jax.jit
     def step(state: VITrainState, batch, key, beta):
-        if cfg.elbo.learn_noise:
-            def wrapped(params):
-                vp, noise = params
-                return loss_fn(vp, noise, batch, key, beta)
-            params = (state.vp, state.noise_param)
-        else:
-            def wrapped(params):
-                (vp,) = params
-                return loss_fn(vp, state.noise_param, batch, key, beta)
-            params = (state.vp,)
-
-        loss, grads = jax.value_and_grad(wrapped)(params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: u * state.plateau.scale, updates)
-        params = optax.apply_updates(params, updates)
-        if cfg.elbo.learn_noise:
-            vp, noise = params
-        else:
-            (vp,), noise = params, state.noise_param
-        return state.replace(vp=vp, noise_param=noise, opt_state=opt_state), loss
+        return _sgd_update(loss_fn, optimizer, cfg, state, batch, key, beta)
 
     return step
 
@@ -201,25 +208,7 @@ def train_fullbatch_scan(
     beta = cfg.beta_type
 
     def sgd_step(state, batch, k):
-        if cfg.elbo.learn_noise:
-            def wrapped(params):
-                vp, noise = params
-                return loss_fn(vp, noise, batch, k, beta)
-            params = (state.vp, state.noise_param)
-        else:
-            def wrapped(params):
-                (vp,) = params
-                return loss_fn(vp, state.noise_param, batch, k, beta)
-            params = (state.vp,)
-        loss, grads = jax.value_and_grad(wrapped)(params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, params)
-        updates = jax.tree_util.tree_map(lambda u: u * state.plateau.scale, updates)
-        params = optax.apply_updates(params, updates)
-        if cfg.elbo.learn_noise:
-            vp, noise = params
-        else:
-            (vp,), noise = params, state.noise_param
-        return state.replace(vp=vp, noise_param=noise, opt_state=opt_state), loss
+        return _sgd_update(loss_fn, optimizer, cfg, state, batch, k, beta)
 
     def mse_of(state, batch, k):
         pred, _ = _split_pred(apply_fn(state.vp, batch, k, False))
