@@ -44,6 +44,57 @@ def test_jittered_trajectory_length():
     assert float(res.acceptance_rate) > 0.7
 
 
+def test_mass_window_schedule_static_shape():
+    from vihmc_tpu.hmc.kernel import mass_window_schedule
+
+    start, ends = mass_window_schedule(100)
+    assert start == 15 and ends[-1] == 90
+    assert all(b > a for a, b in zip(ends, ends[1:]))  # strictly increasing
+    # doubling widths until the absorbed tail
+    widths = np.diff([start, *ends])
+    assert list(widths[:-1]) == [widths[0] * 2**i for i in range(len(widths) - 1)]
+    # too-short burns degrade to no windows
+    assert mass_window_schedule(10) == (0, ())
+
+
+def test_windowed_mass_adaptation_recovers_anisotropic_target():
+    """Windowed warmup (metric updates + DA restarts) recovers a 100:1 target
+    and ends with a carried inv_mass close to the target variances."""
+    scale = jnp.array([0.1, 10.0])
+
+    def lp(q):
+        return diag_normal_logpdf_sum(q, 0.0, scale)
+
+    cfg = HMCConfig(num_samples=3000, num_leapfrog=10, step_size=0.05,
+                    burn=1000, sampler="hmc_nuts", adapt_mass=True,
+                    mass_schedule="windowed")
+    res = jax.jit(lambda k: sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(0))
+    post = np.asarray(res.samples[1000:])
+    np.testing.assert_allclose(post.std(0), np.asarray(scale), rtol=0.25)
+    assert 0.5 < float(np.mean(np.asarray(res.accept_probs[1000:]))) <= 1.0
+
+    inv_mass = np.asarray(res.final_state.inv_mass)
+    assert inv_mass[1] / inv_mass[0] > 100.0  # scale separation captured
+    np.testing.assert_allclose(np.sqrt(inv_mass), np.asarray(scale), rtol=0.5)
+
+
+def test_windowed_nuts_mass_adaptation():
+    from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
+
+    scale = jnp.array([0.05, 5.0])
+
+    def lp(q):
+        return diag_normal_logpdf_sum(q, 0.0, scale)
+
+    cfg = NUTSConfig(num_samples=1200, max_depth=5, step_size=0.05, burn=600,
+                     adapt_mass=True, mass_schedule="windowed")
+    res = jax.jit(lambda k: nuts_sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(3))
+    post = np.asarray(res.samples[600:])
+    np.testing.assert_allclose(post.std(0), np.asarray(scale), rtol=0.3)
+    inv_mass = np.asarray(res.final_state.inv_mass)
+    assert inv_mass[1] / inv_mass[0] > 100.0
+
+
 def test_adapt_mass_state_is_carried():
     cfg = HMCConfig(num_samples=40, num_leapfrog=3, step_size=0.3, burn=20,
                     adapt_mass=True)

@@ -59,6 +59,23 @@ def da_update(state: DualAveragingState, accept_prob, target_accept=0.8) -> Dual
                               h_bar=h_bar, mu=state.mu, t=t)
 
 
+def da_restart(state: DualAveragingState) -> DualAveragingState:
+    """Re-initialize adaptation around the current step size.
+
+    Used at mass-matrix window boundaries (Stan-style windowed warmup): after
+    the metric changes, the old averaged iterate and accumulated statistics
+    describe a different Hamiltonian, so dual averaging restarts from the
+    current adapting step.
+    """
+    return DualAveragingState(
+        log_step=state.log_step,
+        log_step_avg=state.log_step,
+        h_bar=jnp.zeros_like(state.h_bar),
+        mu=jnp.log(10.0) + state.log_step,
+        t=jnp.zeros_like(state.t),
+    )
+
+
 def find_reasonable_step_size(value_and_grad_fn, q, key, init_step=1.0, inv_mass=1.0,
                               max_doublings=50):
     """Heuristic initial step size (Hoffman & Gelman Algorithm 4).

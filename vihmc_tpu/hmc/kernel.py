@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update
+from vihmc_tpu.hmc.adaptation import (DualAveragingState, da_init, da_restart,
+                                      da_update)
 from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
 
 #: log-Hamiltonian-error threshold below which a transition counts as divergent
@@ -50,11 +51,13 @@ class HMCConfig:
     integrator: str = "leapfrog"        # 'leapfrog' | 'splitting'
     target_accept: float = 0.8
     store_burn: bool = True             # hamiltorch returns burn draws for plain HMC
-    adapt_mass: bool = False            # Welford diagonal mass estimation over
-                                        # the first half of burn; the estimated
-                                        # posterior variances become inv_mass at
-                                        # burn//2 (extension beyond the
+    adapt_mass: bool = False            # Welford diagonal mass estimation
+                                        # during burn (extension beyond the
                                         # reference's identity mass)
+    mass_schedule: str = "half"         # 'half': one switch at burn//2;
+                                        # 'windowed': Stan-style doubling
+                                        # windows, each ending with a metric
+                                        # update + dual-averaging restart
     jitter_l: bool = False              # per-draw uniform trajectory length in
                                         # [1, num_leapfrog] (masked steps; same
                                         # compute, kills resonance artifacts of
@@ -88,7 +91,38 @@ class HMCState:
     grad: jnp.ndarray
     da: DualAveragingState
     aux: Any  # frozen-coordinate state etc.; None when unused
-    welford: Any = None  # WelfordState when adapt_mass, else None
+    welford: Any = None   # WelfordState when adapt_mass, else None
+    inv_mass: Any = None  # (D,) carried metric when mass_schedule='windowed'
+
+
+def mass_window_schedule(burn: int):
+    """Static Stan-style warmup windows inside ``burn`` draws.
+
+    Returns ``(start, ends)``: Welford accumulation covers
+    ``[start, ends[-1])``, split into doubling windows whose *exclusive* end
+    iterations are ``ends``; at the last draw of each window the accumulated
+    (shrunk) posterior variances become the diagonal inverse mass, the
+    accumulator resets, and dual averaging restarts. ~15% of burn settles the
+    chain first, ~10% at the end re-equilibrates the step size against the
+    final metric. Empty ``ends`` means burn is too short for windowing.
+    """
+    if burn < 20:
+        return 0, ()
+    start = max(int(0.15 * burn), 1)
+    term = max(int(0.10 * burn), 1)
+    region = burn - start - term
+    if region < 10:
+        return 0, ()
+    w = max(region // 15, 5)
+    ends, pos = [], start
+    while pos + w <= start + region:
+        pos += w
+        ends.append(pos)
+        w *= 2
+    if not ends:
+        return 0, ()
+    ends[-1] = start + region  # absorb the tail into the final window
+    return start, tuple(ends)
 
 
 @struct.dataclass
@@ -126,7 +160,8 @@ def _normalize_log_prob(log_prob_fn):
     return lambda q, aux: log_prob_fn(q)
 
 
-def init_state(log_prob_fn, position, config: HMCConfig, aux=None) -> HMCState:
+def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
+               inv_mass=1.0) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
     lp, g = jax.value_and_grad(fn)(position, aux)
     welford = None
@@ -134,8 +169,13 @@ def init_state(log_prob_fn, position, config: HMCConfig, aux=None) -> HMCState:
         welford = WelfordState(mean=jnp.zeros_like(position),
                                m2=jnp.zeros_like(position),
                                count=jnp.zeros((), jnp.float32))
+    inv_mass_state = None
+    if config.adapt_mass and config.mass_schedule == "windowed":
+        inv_mass_state = jnp.broadcast_to(
+            jnp.asarray(inv_mass, position.dtype), position.shape)
     return HMCState(position=position, log_prob=lp, grad=g,
-                    da=da_init(config.step_size), aux=aux, welford=welford)
+                    da=da_init(config.step_size), aux=aux, welford=welford,
+                    inv_mass=inv_mass_state)
 
 
 def make_kernel(
@@ -162,6 +202,10 @@ def make_kernel(
     fn = _normalize_log_prob(log_prob_fn)
     vag = jax.value_and_grad(fn)
     adapt = config.sampler == "hmc_nuts"
+    windowed = False
+    if config.adapt_mass and config.mass_schedule == "windowed":
+        win_start, win_ends = mass_window_schedule(config.burn)
+        windowed = len(win_ends) > 0
 
     if config.integrator == "splitting":
         if shard_log_prob_fn is None or shard_data is None:
@@ -185,9 +229,12 @@ def make_kernel(
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
 
-        # --- mass matrix: fixed, or Welford-estimated posterior variances
-        # after the first half of burn (shrunk toward identity, Stan-style) ---
-        if config.adapt_mass:
+        # --- mass matrix: fixed; carried metric updated at window boundaries
+        # (windowed); or Welford-estimated posterior variances after the
+        # first half of burn (half schedule) — shrunk Stan-style either way ---
+        if windowed:
+            inv_mass_t = state.inv_mass
+        elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             n = state.welford.count
             var_hat = (n / (n + 5.0)) * state.welford.variance \
@@ -248,8 +295,24 @@ def make_kernel(
         log_prob = jnp.where(accept, lp1, lp0)
         grad = jnp.where(accept, g1, g0)
 
-        # --- Welford accumulation over the first half of burn ---
-        if config.adapt_mass:
+        # --- Welford accumulation / metric updates ---
+        is_win_end = None
+        inv_mass_state = state.inv_mass
+        if windowed:
+            # accumulate inside [win_start, win_ends[-1]); at the last draw of
+            # each window: metric <- shrunk variances, accumulator resets
+            in_window = (iteration >= win_start) & (iteration < win_ends[-1])
+            is_win_end = jnp.any(iteration == jnp.asarray(win_ends) - 1)
+            new_w = state.welford.update(position)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, a, b), new_w, state.welford)
+            n = welford.count
+            var_hat = (n / (n + 5.0)) * welford.variance \
+                + 1e-3 * (5.0 / (n + 5.0))
+            inv_mass_state = jnp.where(is_win_end, var_hat, state.inv_mass)
+            welford = jax.tree_util.tree_map(
+                lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
+        elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(position)
             welford = jax.tree_util.tree_map(
@@ -258,17 +321,21 @@ def make_kernel(
         else:
             welford = state.welford
 
-        # --- dual averaging (burn phase only) ---
+        # --- dual averaging (burn phase only; restart at metric updates) ---
         if adapt:
             da_new = da_update(state.da, accept_prob, config.target_accept)
             da = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(in_burn, new, old), da_new, state.da
             )
+            if is_win_end is not None:
+                da = jax.tree_util.tree_map(
+                    lambda r, c: jnp.where(is_win_end, r, c), da_restart(da), da)
         else:
             da = state.da
 
         new_state = HMCState(position=position, log_prob=log_prob, grad=grad,
-                             da=da, aux=aux, welford=welford)
+                             da=da, aux=aux, welford=welford,
+                             inv_mass=inv_mass_state)
         info = {
             "accept_prob": accept_prob,
             "accepted": accept,
@@ -306,7 +373,8 @@ def sample(
     kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
                          aux_refresh=aux_refresh,
                          shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data)
-    state0 = init_state(log_prob_fn, init_position, config, aux=aux)
+    state0 = init_state(log_prob_fn, init_position, config, aux=aux,
+                        inv_mass=inv_mass)
 
     keys = jax.random.split(key, config.num_samples)
     iters = jnp.arange(config.num_samples)

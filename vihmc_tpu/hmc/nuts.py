@@ -30,12 +30,13 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vihmc_tpu.hmc.adaptation import da_update
+from vihmc_tpu.hmc.adaptation import da_restart, da_update
 from vihmc_tpu.hmc.kernel import (
     HMCState,
     SampleResult,
     _normalize_log_prob,
     init_state,
+    mass_window_schedule,
 )
 
 #: energy-error threshold for divergence (Stan's default is 1000 in -log space)
@@ -53,6 +54,7 @@ class NUTSConfig:
     adapt_step_size: bool = True       # dual averaging during burn
     target_accept: float = 0.8
     adapt_mass: bool = False           # Welford diagonal mass (as in hmc kernel)
+    mass_schedule: str = "half"        # 'half' | 'windowed' (as in hmc kernel)
 
 
 @struct.dataclass
@@ -171,6 +173,10 @@ def nuts_sample(
 ) -> SampleResult:
     """Draw ``config.num_samples`` NUTS samples (one compiled scan)."""
     fn = _normalize_log_prob(log_prob_fn)
+    windowed = False
+    if config.adapt_mass and config.mass_schedule == "windowed":
+        win_start, win_ends = mass_window_schedule(config.burn)
+        windowed = len(win_ends) > 0
 
     def kernel(state, k, iteration):
         key_mom, key_dirs, key_tree, key_swap, key_aux = jax.random.split(k, 5)
@@ -191,7 +197,9 @@ def nuts_sample(
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
 
-        if config.adapt_mass:
+        if windowed:
+            inv_mass_t = state.inv_mass
+        elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             n = state.welford.count
             var_hat = (n / (n + 5.0)) * state.welford.variance \
@@ -267,14 +275,21 @@ def nuts_sample(
         accept_stat = traj.sum_accept / jnp.maximum(traj.n_leaves, 1.0)
         moved = jnp.any(traj.q_prop != state.position)
 
-        if config.adapt_step_size:
-            da_new = da_update(state.da, accept_stat, config.target_accept)
-            da = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_burn, new, old), da_new, state.da)
-        else:
-            da = state.da
-
-        if config.adapt_mass:
+        is_win_end = None
+        inv_mass_state = state.inv_mass
+        if windowed:
+            in_window = (iteration >= win_start) & (iteration < win_ends[-1])
+            is_win_end = jnp.any(iteration == jnp.asarray(win_ends) - 1)
+            new_w = state.welford.update(traj.q_prop)
+            welford = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(in_window, a, b), new_w, state.welford)
+            n = welford.count
+            var_hat = (n / (n + 5.0)) * welford.variance \
+                + 1e-3 * (5.0 / (n + 5.0))
+            inv_mass_state = jnp.where(is_win_end, var_hat, state.inv_mass)
+            welford = jax.tree_util.tree_map(
+                lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
+        elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(traj.q_prop)
             welford = jax.tree_util.tree_map(
@@ -283,8 +298,19 @@ def nuts_sample(
         else:
             welford = state.welford
 
+        if config.adapt_step_size:
+            da_new = da_update(state.da, accept_stat, config.target_accept)
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_burn, new, old), da_new, state.da)
+            if is_win_end is not None:
+                da = jax.tree_util.tree_map(
+                    lambda r, c: jnp.where(is_win_end, r, c), da_restart(da), da)
+        else:
+            da = state.da
+
         new_state = HMCState(position=traj.q_prop, log_prob=traj.lp_prop,
-                             grad=traj.g_prop, da=da, aux=aux_t, welford=welford)
+                             grad=traj.g_prop, da=da, aux=aux_t, welford=welford,
+                             inv_mass=inv_mass_state)
         info = {"accept_prob": accept_stat, "accepted": moved,
                 "step_size": eps, "divergent": traj.diverged,
                 "log_prob": traj.lp_prop, "tree_leaves": traj.n_leaves}
@@ -294,7 +320,9 @@ def nuts_sample(
 
     state0 = init_state(log_prob_fn, init_position,
                         _HC(step_size=config.step_size,
-                            adapt_mass=config.adapt_mass), aux=aux)
+                            adapt_mass=config.adapt_mass,
+                            mass_schedule=config.mass_schedule), aux=aux,
+                        inv_mass=inv_mass)
     keys = jax.random.split(key, config.num_samples)
     iters = jnp.arange(config.num_samples)
 

@@ -107,6 +107,8 @@ class VIHMCRunConfig:
     adapt_step_size: bool = False    # dual-averaging during burn (extension:
                                      # the reference's VI-HMC uses a fixed step)
     adapt_mass: bool = False         # Welford diagonal mass during warmup
+    mass_schedule: str = "half"      # 'half' | 'windowed' (Stan-style doubling
+                                     # windows w/ dual-averaging restarts)
     target_accept: float = 0.8
     algorithm: str = "hmc"           # 'hmc' (reference) | 'nuts' (extension:
                                      # adaptive trajectory lengths replace the

@@ -197,7 +197,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                               step_size=cfg.step_size, burn=cfg.burn_,
                               adapt_step_size=True,
                               target_accept=cfg.target_accept,
-                              adapt_mass=cfg.adapt_mass)
+                              adapt_mass=cfg.adapt_mass,
+                              mass_schedule=cfg.mass_schedule)
         res = sample_chains_nuts(log_prob, inits, k_sample, nuts_cfg,
                                  inv_mass=inv_mass, aux=aux0,
                                  aux_refresh=refresh, mesh=mesh)
@@ -206,7 +207,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             step_size=cfg.step_size, burn=cfg.burn_,
                             sampler="hmc_nuts" if cfg.adapt_step_size else "hmc",
                             target_accept=cfg.target_accept,
-                            adapt_mass=cfg.adapt_mass)
+                            adapt_mass=cfg.adapt_mass,
+                            mass_schedule=cfg.mass_schedule)
         res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
                             aux=aux0, aux_refresh=refresh, mesh=mesh)
 
