@@ -6,6 +6,16 @@ from vihmc_tpu.data.burgers import (
     subsample_trunk,
     split_shards,
 )
+from vihmc_tpu.data.cone import (
+    CONE_STATS,
+    ConeStats,
+    cone_to_operator_splits,
+    generate_cone_dataset,
+    get_cone,
+    load_cone,
+    normalize_cone,
+    normalize_cone_inputs,
+)
 
 __all__ = [
     "regression_data",
@@ -15,4 +25,12 @@ __all__ = [
     "get_burgers",
     "subsample_trunk",
     "split_shards",
+    "CONE_STATS",
+    "ConeStats",
+    "cone_to_operator_splits",
+    "generate_cone_dataset",
+    "get_cone",
+    "load_cone",
+    "normalize_cone",
+    "normalize_cone_inputs",
 ]

@@ -307,8 +307,12 @@ def make_kernel(
             welford = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(in_window, a, b), new_w, state.welford)
             n = welford.count
+            # shrink toward the caller's inv_mass (e.g. the VI-posterior
+            # variances) rather than Stan's fixed 1e-3*I — with an informative
+            # preconditioner available, small windows fall back to it
+            base = inv_mass * jnp.ones_like(state.position)
             var_hat = (n / (n + 5.0)) * welford.variance \
-                + 1e-3 * (5.0 / (n + 5.0))
+                + (5.0 / (n + 5.0)) * base
             inv_mass_state = jnp.where(is_win_end, var_hat, state.inv_mass)
             welford = jax.tree_util.tree_map(
                 lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)

@@ -129,6 +129,8 @@ class OperatorVIRunConfig:
     """Operator VI training (/root/reference/Operator_network/VI/config.py)."""
 
     model: DeepONetConfig = dataclasses.field(default_factory=DeepONetConfig)
+    dataset: str = "Burgers"         # 'Burgers' | 'Cone' (reference
+                                     # Operator_network/VI/config.py:28)
     n_train: int = 1000
     n_valid: int = 1000
     batch_size: int = 128

@@ -68,8 +68,13 @@ def run_operator(vp, deeponet_cfg, split, cfg: SensitivityRunConfig = Sensitivit
     flat_mu, flat_sigma = flatten_mean_std(vp)
     apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
 
-    p = min(cfg.p_subsample, split["trunk_in"].shape[0])
-    trunk_sub, _ = subsample_trunk(key, split, p)  # (B, p, 2)
+    if split["trunk_in"].ndim == 3:
+        # per-example query points (e.g. Cone): already (B, P, 2), no
+        # grid subsampling to do
+        trunk_sub = split["trunk_in"]
+    else:
+        p = min(cfg.p_subsample, split["trunk_in"].shape[0])
+        trunk_sub, _ = subsample_trunk(key, split, p)  # (B, p, 2)
     inputs = {"branch": split["branch_in"], "trunk": trunk_sub}
 
     def apply_one(flat, x):

@@ -275,7 +275,9 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         train_split, valid_split = data
     apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
 
-    n_grid = train_split["trunk_in"].shape[0]
+    n_grid = (train_split["trunk_in"].shape[-2]
+              if train_split["trunk_in"].ndim == 3
+              else train_split["trunk_in"].shape[0])
     subsample = None
     if cfg.sample_data and cfg.p < n_grid:
         subsample = {

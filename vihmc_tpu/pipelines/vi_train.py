@@ -93,7 +93,10 @@ def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
     n_train = train_split["branch_in"].shape[0]
     bs = min(cfg.batch_size, n_train)
     n_batches = n_train // bs
-    n_grid_pts = train_split["trunk_in"].shape[0]
+    # per-example query points (ndim 3, e.g. Cone) vs shared grid (ndim 2)
+    per_example = train_split["trunk_in"].ndim == 3
+    n_grid_pts = (train_split["trunk_in"].shape[-2] if per_example
+                  else train_split["trunk_in"].shape[0])
     # reference convention: train_size = (actual) N_train * trunk points
     # (Operator_network/VI/utils.py:50); use the split's true size so
     # caller-provided datasets of a different size scale the ELBO correctly
@@ -129,7 +132,7 @@ def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
                 trunk, y = jax.vmap(pick)(ex_keys, sol_all[idx])
             else:
                 kstep = k
-                trunk = trunk_all
+                trunk = trunk_all[idx] if per_example else trunk_all
                 y = sol_all[idx]
             batch = {"branch": branch, "trunk": trunk, "y": y}
             state, loss = step(state, batch, kstep, beta)
@@ -140,9 +143,11 @@ def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
 
     nb = min(bs, valid_split["branch_in"].shape[0])
     valid_batch = {"branch": valid_split["branch_in"][:nb],
-                   "trunk": valid_split["trunk_in"],
+                   "trunk": (valid_split["trunk_in"][:nb] if per_example
+                             else valid_split["trunk_in"]),
                    "y": valid_split["solution"][:nb]}
-    train_eval_batch = {"branch": branch_all[:nb], "trunk": trunk_all,
+    train_eval_batch = {"branch": branch_all[:nb],
+                        "trunk": trunk_all[:nb] if per_example else trunk_all,
                         "y": sol_all[:nb]}
 
     metrics = []
@@ -181,7 +186,19 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
     key = jax.random.key(0) if key is None else key
     kd, kp, kt = jax.random.split(key, 3)
     if data is None:
-        train_split, valid_split = get_burgers(kd, cfg.n_train, cfg.n_valid, mat_path)
+        if cfg.dataset == "Cone":
+            from vihmc_tpu.data.cone import get_cone
+
+            train_split, valid_split = get_cone(kd, cfg.n_train, cfg.n_valid,
+                                                mat_path, cfg.model.in_branch)
+        elif cfg.dataset == "Burgers":
+            train_split, valid_split = get_burgers(kd, cfg.n_train, cfg.n_valid,
+                                                   mat_path)
+        else:
+            # reference error surface (Operator_network/VI/utils.py:57)
+            raise NotImplementedError(
+                f"Dataset: {cfg.dataset} is NOT implemented. "
+                f"Dataset should be Burgers or Cone")
     else:
         train_split, valid_split = data
 
@@ -191,7 +208,9 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
     state = init_train_state(vp, cfg.vi)
 
     apply_fn = deeponet_vi_apply(cfg.model, cfg.mode)
-    n_grid = train_split["trunk_in"].shape[0]
+    per_example = train_split["trunk_in"].ndim == 3  # e.g. Cone (data/cone.py)
+    n_grid = (train_split["trunk_in"].shape[-2] if per_example
+              else train_split["trunk_in"].shape[0])
     subsampling = cfg.p < n_grid
 
     if isinstance(cfg.vi.beta_type, float):
@@ -217,7 +236,8 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
                     cfg.p,
                 )
             else:
-                trunk = split["trunk_in"]
+                trunk = (split["trunk_in"][idx] if per_example
+                         else split["trunk_in"])
                 y = split["solution"][idx]
             batches.append({"branch": branch, "trunk": trunk, "y": y})
         return batches
@@ -228,10 +248,12 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
     # fixed evaluation batches (first minibatch-sized slice, full grid)
     nb = min(cfg.batch_size, cfg.n_valid)
     valid_batch = {"branch": valid_split["branch_in"][:nb],
-                   "trunk": valid_split["trunk_in"],
+                   "trunk": (valid_split["trunk_in"][:nb] if per_example
+                             else valid_split["trunk_in"]),
                    "y": valid_split["solution"][:nb]}
     train_eval_batch = {"branch": train_split["branch_in"][:nb],
-                        "trunk": train_split["trunk_in"],
+                        "trunk": (train_split["trunk_in"][:nb] if per_example
+                                  else train_split["trunk_in"]),
                         "y": train_split["solution"][:nb]}
 
     def callback(epoch, row, st):
