@@ -111,6 +111,34 @@ def test_vihmc_policies_and_priors(tmp_path):
             assert np.isfinite(np.asarray(out["result"].samples)).all()
 
 
+def test_vihmc_saves_vi_draw_trace(tmp_path):
+    """save_vi_trace persists the per-iteration frozen VI draw as the
+    'vi_params' artifact (reference my_make_func.py:45-50), and REFRESH
+    actually redraws it each iteration."""
+    d = TINY_MLP.num_params
+    rng = np.random.default_rng(1)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    store = RunStore(str(tmp_path))
+    cfg = C.VIHMCRunConfig(num_samples=8, step_size=1e-3, post_std=0.05,
+                           num_chains=2, frozen_policy="refresh",
+                           save_vi_trace=True, tau_out=5e-2 ** 2)
+    out = vi_hmc.run_nn(cfg, TINY_MLP, artifacts, key=jax.random.key(2),
+                        store=store)
+    trace = np.asarray(out["result"].aux_trace)
+    assert trace.shape == (2, 8, d)
+    # refresh: consecutive frozen draws differ
+    assert not np.allclose(trace[:, 0], trace[:, 1])
+    saved = store.load_array("vi_params")
+    np.testing.assert_allclose(saved, trace)
+
+    with pytest.raises(ValueError, match="save_vi_trace"):
+        vi_hmc.run_nn(C.VIHMCRunConfig(num_samples=4, num_chains=1,
+                                       algorithm="nuts", save_vi_trace=True),
+                      TINY_MLP, artifacts, key=jax.random.key(3))
+
+
 def test_operator_three_stage(tmp_path, tiny_burgers):
     """VI -> sensitivity -> VI-HMC for the DeepONet workload."""
     cfg_vi = C.OperatorVIRunConfig(

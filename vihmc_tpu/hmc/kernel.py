@@ -62,6 +62,12 @@ class HMCConfig:
                                         # [1, num_leapfrog] (masked steps; same
                                         # compute, kills resonance artifacts of
                                         # the reference's fixed analytic L)
+    store_aux_trace: bool = False       # record the per-draw aux state (e.g.
+                                        # the frozen VI draw used at each
+                                        # iteration — the reference's
+                                        # vi_params_<uid>.npy trace,
+                                        # my_make_func.py:45-50). Memory: one
+                                        # aux copy per draw.
 
 
 @struct.dataclass
@@ -134,6 +140,7 @@ class SampleResult:
     step_sizes: jnp.ndarray     # (S,)
     divergent: jnp.ndarray      # (S,) bool
     final_state: HMCState
+    aux_trace: Any = None       # per-draw aux states when store_aux_trace
 
     @property
     def acceptance_rate(self):
@@ -387,6 +394,8 @@ def sample(
         k, i = xs
         state, info = kernel(state, k, i)
         out = {"position": state.position, **info}
+        if config.store_aux_trace:
+            out["aux"] = state.aux
         return state, out
 
     final_state, outs = jax.lax.scan(step, state0, (keys, iters))
@@ -398,4 +407,5 @@ def sample(
         step_sizes=outs["step_size"],
         divergent=outs["divergent"],
         final_state=final_state,
+        aux_trace=outs.get("aux"),
     )

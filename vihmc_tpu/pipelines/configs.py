@@ -106,6 +106,10 @@ class VIHMCRunConfig:
                                      # (reference main_VI_HMC_burgers.py:131-138)
     adapt_step_size: bool = False    # dual-averaging during burn (extension:
                                      # the reference's VI-HMC uses a fixed step)
+    save_vi_trace: bool = False      # record the frozen VI draw used at each
+                                     # iteration and persist it as the
+                                     # 'vi_params' artifact (reference
+                                     # my_make_func.py:45-50); plain HMC only
     adapt_mass: bool = False         # Welford diagonal mass during warmup
     mass_schedule: str = "half"      # 'half' | 'windowed' (Stan-style doubling
                                      # windows w/ dual-averaging restarts)

@@ -189,6 +189,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     inits = chain_inits(cfg, spec, k_init)
     if cfg.algorithm == "nuts":
+        if cfg.save_vi_trace:
+            raise ValueError("save_vi_trace is supported for algorithm='hmc' "
+                             "only (the reference's VI-HMC uses plain HMC)")
         from vihmc_tpu.hmc.nuts import NUTSConfig
         from vihmc_tpu.chains import sample_chains_nuts
 
@@ -208,7 +211,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             sampler="hmc_nuts" if cfg.adapt_step_size else "hmc",
                             target_accept=cfg.target_accept,
                             adapt_mass=cfg.adapt_mass,
-                            mass_schedule=cfg.mass_schedule)
+                            mass_schedule=cfg.mass_schedule,
+                            store_aux_trace=cfg.save_vi_trace)
         res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
                             aux=aux0, aux_refresh=refresh, mesh=mesh)
 
@@ -222,6 +226,13 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     if store is not None:
         store.save_config(cfg)
         store.save_array("hmc_params", res.samples)
+        if getattr(res, "aux_trace", None) is not None:
+            trace = res.aux_trace
+            if isinstance(trace, dict):  # subsampled variant: {'frozen','tidx'}
+                trace = trace["frozen"]
+            # reference artifact name (my_make_func.py:45-50): the frozen VI
+            # draw in effect at each iteration, per chain
+            store.save_array("vi_params", trace)
         if "metrics" in out:
             store.save_array("sample_mse", out["metrics"]["sample_mse"])
     return out
