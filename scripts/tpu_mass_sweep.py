@@ -50,6 +50,17 @@ def run_variant(name, quick):
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     inv_mass = spec.sub_sigma() ** 2
+    if name.startswith("draws"):
+        n_samples = int(name[5:])
+    target_accept = 0.8
+    if name.startswith("ta"):  # e.g. ta65, ta55d360
+        spec_str = name[2:]
+        if "d" in spec_str:
+            ta_str, d_str = spec_str.split("d")
+            n_samples = int(d_str)
+        else:
+            ta_str = spec_str
+        target_accept = int(ta_str) / 100.0
     burn = n_samples // 5
 
     if name.startswith("nuts"):
@@ -69,7 +80,9 @@ def run_variant(name, quick):
         hcfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4,
                          burn=burn, sampler="hmc_nuts",
                          adapt_mass=(name == "wmass"),
-                         mass_schedule="windowed" if name == "wmass" else "half")
+                         mass_schedule="windowed" if name == "wmass" else "half",
+                         jitter_l=(name == "jitter"),
+                         target_accept=target_accept)
 
         def run(key):
             return sample_chains(log_prob, inits, key, hcfg, inv_mass=inv_mass,

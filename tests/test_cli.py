@@ -30,6 +30,19 @@ def test_cli_vi_nn_with_sensitivity_then_vi_hmc(tmp_path):
     assert samples.ndim == 3 and np.isfinite(samples).all()
 
 
+def test_cli_vi_hmc_save_vi_trace(tmp_path):
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "2", "--out", out, "--uid", "demo",
+               "--with-sensitivity"])
+    assert rc == 0
+    rc = main(["vi-hmc", "--artifacts", str(tmp_path / "demo"),
+               "--num-samples", "6", "--num-chains", "1", "--policy", "refresh",
+               "--save-vi-trace", "--out", out, "--uid", "hmc"])
+    assert rc == 0
+    trace = np.load(tmp_path / "hmc" / "vi_params.npy")
+    assert trace.ndim == 3 and trace.shape[1] == 6 and np.isfinite(trace).all()
+
+
 def test_cli_postprocess_stacks_runs(tmp_path, capsys):
     from vihmc_tpu.io import RunStore
 

@@ -58,7 +58,10 @@ def build_parser():
     p = sub.add_parser("vi-operator", help="VI training, Bayesian DeepONet")
     _common(p)
     p.add_argument("--epochs", type=int, default=None)
-    p.add_argument("--mat", default=None, help="path to DeepOnet_data.mat")
+    p.add_argument("--dataset", choices=["Burgers", "Cone"], default=None)
+    p.add_argument("--mat", default=None,
+                   help="path to DeepOnet_data.mat (Burgers) or a Cone "
+                        ".mat/.npz with Xf/Xp/Y keys")
     p.add_argument("--n-train", type=int, default=None)
     p.add_argument("--n-valid", type=int, default=None)
     p.add_argument("--with-sensitivity", action="store_true")
@@ -72,6 +75,8 @@ def build_parser():
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--num-chains", type=int, default=None)
     p.add_argument("--policy", choices=["mean", "draw", "refresh"], default=None)
+    p.add_argument("--save-vi-trace", action="store_true",
+                   help="persist the per-draw frozen VI draw ('vi_params')")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
@@ -160,7 +165,8 @@ def main(argv=None):
     elif args.command == "vi-operator":
         cfg = C.OperatorVIRunConfig()
         vi = _override(cfg.vi, epochs=args.epochs)
-        cfg = _override(cfg, vi=vi, n_train=args.n_train, n_valid=args.n_valid)
+        cfg = _override(cfg, vi=vi, n_train=args.n_train, n_valid=args.n_valid,
+                        dataset=args.dataset)
         out = vi_train.run_operator(cfg, key=key, mat_path=args.mat, store=store)
         print("final metrics row:", out["metrics"][-1].tolist())
         if args.with_sensitivity:
@@ -179,7 +185,8 @@ def main(argv=None):
                      "sigma": art_store.load_array("stds_flattened"),
                      "indices": art_store.load_array("gradient_indices")}
         cfg = _override(C.VIHMCRunConfig(), num_samples=args.num_samples,
-                        num_chains=args.num_chains, frozen_policy=args.policy)
+                        num_chains=args.num_chains, frozen_policy=args.policy,
+                        save_vi_trace=(True if args.save_vi_trace else None))
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
                                 key=key, store=store)
