@@ -53,14 +53,16 @@ def run_variant(name, quick):
     if name.startswith("draws"):
         n_samples = int(name[5:])
     target_accept = 0.8
-    if name.startswith("ta"):  # e.g. ta65, ta55d360
+    num_leapfrog = 7
+    if name.startswith("ta"):  # e.g. ta65, ta55d360, ta65L15, ta65L31d240
         spec_str = name[2:]
         if "d" in spec_str:
-            ta_str, d_str = spec_str.split("d")
+            spec_str, d_str = spec_str.split("d")
             n_samples = int(d_str)
-        else:
-            ta_str = spec_str
-        target_accept = int(ta_str) / 100.0
+        if "L" in spec_str:
+            spec_str, l_str = spec_str.split("L")
+            num_leapfrog = int(l_str)
+        target_accept = int(spec_str) / 100.0
     burn = n_samples // 5
 
     if name.startswith("nuts"):
@@ -77,7 +79,8 @@ def run_variant(name, quick):
                                       aux_refresh=refresh)
         grads_per_draw = 2 ** depth - 1
     else:
-        hcfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4,
+        hcfg = HMCConfig(num_samples=n_samples, num_leapfrog=num_leapfrog,
+                         step_size=1e-4,
                          burn=burn, sampler="hmc_nuts",
                          adapt_mass=(name == "wmass"),
                          mass_schedule="windowed" if name == "wmass" else "half",
@@ -87,7 +90,7 @@ def run_variant(name, quick):
         def run(key):
             return sample_chains(log_prob, inits, key, hcfg, inv_mass=inv_mass,
                                  aux=aux0, aux_refresh=refresh)
-        grads_per_draw = 8
+        grads_per_draw = num_leapfrog + 1
 
     res = run(jax.random.key(1))
     np.asarray(res.samples)  # compile + warm

@@ -10,6 +10,7 @@ from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update, fin
 from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
 from vihmc_tpu.hmc.subspace import FrozenPolicy, make_subspace_log_prob, SubspaceSpec
 from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
+from vihmc_tpu.hmc.chees import ChEESConfig, chees_sample
 
 
 def sample_model(*args, **kwargs):
@@ -45,4 +46,6 @@ __all__ = [
     "predict_model",
     "NUTSConfig",
     "nuts_sample",
+    "ChEESConfig",
+    "chees_sample",
 ]
