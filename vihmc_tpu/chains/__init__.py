@@ -1,5 +1,6 @@
 from vihmc_tpu.chains.parallel import (
     sample_chains,
+    sample_chains_chees,
     sample_chains_nuts,
     make_chain_mesh,
     shard_batch,
@@ -21,6 +22,7 @@ from vihmc_tpu.chains.diagnostics import (
 
 __all__ = [
     "sample_chains",
+    "sample_chains_chees",
     "sample_chains_nuts",
     "sample_chains_resumable",
     "make_chain_mesh",

@@ -137,3 +137,40 @@ def sample_chains_nuts(log_prob_fn, init_positions, key, config, inv_mass=1.0,
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     fn = _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh)
     return fn(chain_keys, init_positions, inv_mass, aux)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
+    from vihmc_tpu.hmc.chees import chees_sample
+
+    def run(key, inits, inv_mass, aux):
+        return chees_sample(log_prob_fn, inits, key, config, inv_mass=inv_mass,
+                            aux=aux, aux_refresh=aux_refresh)
+
+    if mesh is None:
+        return jax.jit(run)
+    chain_sharding = NamedSharding(mesh, P("chains"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(run,
+                   in_shardings=(replicated, chain_sharding, replicated,
+                                 chain_sharding),
+                   out_shardings=None)
+
+
+def sample_chains_chees(log_prob_fn, init_positions, key, config, inv_mass=1.0,
+                        aux=None, aux_refresh=None, mesh=None):
+    """Multi-chain ChEES-HMC. Unlike :func:`sample_chains`, the chains are
+    *coupled* (cross-chain adaptation), so the chain axis lives inside one
+    computation: chains shard over the 'chains' mesh axis and the ChEES/
+    acceptance reductions become collectives.
+
+    ``aux`` here is shared and gets a leading chain axis by tiling (each
+    chain then refreshes its own copy via ``aux_refresh``).
+    """
+    n_chains = init_positions.shape[0]
+    inv_mass = jnp.asarray(inv_mass, jnp.float32)
+    if aux is not None:
+        aux = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_chains,) + a.shape), aux)
+    fn = _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh)
+    return fn(key, init_positions, inv_mass, aux)

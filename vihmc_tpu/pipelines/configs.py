@@ -114,10 +114,11 @@ class VIHMCRunConfig:
     mass_schedule: str = "half"      # 'half' | 'windowed' (Stan-style doubling
                                      # windows w/ dual-averaging restarts)
     target_accept: float = 0.8
-    algorithm: str = "hmc"           # 'hmc' (reference) | 'nuts' (extension:
-                                     # adaptive trajectory lengths replace the
-                                     # analytic L rule)
+    algorithm: str = "hmc"           # 'hmc' (reference) | 'nuts' | 'chees'
+                                     # (extensions: adaptive trajectory
+                                     # lengths replace the analytic L rule)
     nuts_max_depth: int = 6
+    chees_max_steps: int = 256       # leapfrog cap per draw for 'chees'
 
     @property
     def L(self) -> int:

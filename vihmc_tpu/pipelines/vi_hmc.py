@@ -188,10 +188,23 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                           replace=False)}
 
     inits = chain_inits(cfg, spec, k_init)
-    if cfg.algorithm == "nuts":
-        if cfg.save_vi_trace:
-            raise ValueError("save_vi_trace is supported for algorithm='hmc' "
-                             "only (the reference's VI-HMC uses plain HMC)")
+    if cfg.algorithm != "hmc" and cfg.save_vi_trace:
+        raise ValueError("save_vi_trace is supported for algorithm='hmc' "
+                         "only (the reference's VI-HMC uses plain HMC)")
+    if cfg.algorithm == "chees":
+        from vihmc_tpu.hmc.chees import ChEESConfig
+        from vihmc_tpu.chains import sample_chains_chees
+
+        chees_cfg = ChEESConfig(num_samples=cfg.num_samples,
+                                step_size=cfg.step_size,
+                                init_traj_length=max(cfg.L, 1) * cfg.step_size,
+                                burn=cfg.burn_,
+                                max_steps=cfg.chees_max_steps,
+                                target_accept=min(cfg.target_accept, 0.651))
+        res = sample_chains_chees(log_prob, inits, k_sample, chees_cfg,
+                                  inv_mass=inv_mass, aux=aux0,
+                                  aux_refresh=refresh, mesh=mesh)
+    elif cfg.algorithm == "nuts":
         from vihmc_tpu.hmc.nuts import NUTSConfig
         from vihmc_tpu.chains import sample_chains_nuts
 
