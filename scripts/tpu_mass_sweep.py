@@ -48,6 +48,11 @@ def run_variant(name, quick):
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
+    label = name
+    if name.startswith("c") and "_" in name:  # e.g. c64_ta55L31, c16_head
+        c_str, name = name.split("_", 1)
+        n_chains = int(c_str[1:])
+
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     inv_mass = spec.sub_sigma() ** 2
     if name.startswith("draws"):
@@ -65,7 +70,29 @@ def run_variant(name, quick):
         target_accept = int(spec_str) / 100.0
     burn = n_samples // 5
 
-    if name.startswith("nuts"):
+    if name.startswith("chees"):  # chees, cheesd360
+        from vihmc_tpu.chains import sample_chains_chees
+        from vihmc_tpu.hmc.chees import ChEESConfig
+
+        rest = name[5:]
+        adam_lr = 0.025
+        if rest.startswith("fast"):  # cheesfast: short-burn-friendly lr
+            adam_lr = 0.15
+            rest = rest[4:]
+        if rest.startswith("d"):
+            n_samples = int(rest[1:])
+            burn = n_samples // 5
+        ccfg = ChEESConfig(num_samples=n_samples, step_size=1e-4,
+                           init_traj_length=7 * 1e-4, burn=burn,
+                           max_steps=256, target_accept=0.651,
+                           adam_lr=adam_lr)
+
+        def run(key):
+            return sample_chains_chees(log_prob, inits, key, ccfg,
+                                       inv_mass=inv_mass, aux=aux0,
+                                       aux_refresh=refresh)
+        grads_per_draw = -1  # dynamic; reported from the trace below
+    elif name.startswith("nuts"):
         from vihmc_tpu.hmc.nuts import NUTSConfig
 
         depth = int(name[4:] or 3)
@@ -100,8 +127,15 @@ def run_variant(name, quick):
     elapsed = time.perf_counter() - t0
 
     ess = effective_sample_size_np(samples[:, burn:, :])
+    extra = {}
+    if grads_per_draw < 0:  # chees: realized dynamic step counts
+        steps = np.asarray(res.aux_trace["n_steps"])
+        grads_per_draw = round(float(steps.mean()), 1)
+        extra = {"final_T": round(float(np.exp(res.final_state.log_T)), 6),
+                 "final_eps": round(float(np.exp(res.final_state.log_eps_avg)), 6)}
     out = {
-        "variant": name,
+        "variant": label,
+        **extra,
         "elapsed_s": round(elapsed, 3),
         "samples_per_s": round(n_chains * n_samples / elapsed, 1),
         "ess_median": round(float(np.median(ess)), 2),

@@ -43,6 +43,19 @@ def test_cli_vi_hmc_save_vi_trace(tmp_path):
     assert trace.ndim == 3 and trace.shape[1] == 6 and np.isfinite(trace).all()
 
 
+def test_cli_vi_hmc_algorithm_chees(tmp_path):
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "2", "--out", out, "--uid", "d",
+               "--with-sensitivity"])
+    assert rc == 0
+    rc = main(["vi-hmc", "--artifacts", f"{out}/d", "--num-samples", "10",
+               "--num-chains", "2", "--algorithm", "chees", "--out", out,
+               "--uid", "hc"])
+    assert rc == 0
+    samples = np.load(tmp_path / "hc" / "hmc_params.npy")
+    assert samples.shape[:2] == (2, 10) and np.isfinite(samples).all()
+
+
 def test_cli_postprocess_stacks_runs(tmp_path, capsys):
     from vihmc_tpu.io import RunStore
 

@@ -75,6 +75,9 @@ def build_parser():
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--num-chains", type=int, default=None)
     p.add_argument("--policy", choices=["mean", "draw", "refresh"], default=None)
+    p.add_argument("--algorithm", choices=["hmc", "nuts", "chees"], default=None,
+                   help="hmc = reference behavior; nuts/chees adapt the "
+                        "trajectory length")
     p.add_argument("--save-vi-trace", action="store_true",
                    help="persist the per-draw frozen VI draw ('vi_params')")
     p.add_argument("--mat", default=None)
@@ -186,6 +189,7 @@ def main(argv=None):
                      "indices": art_store.load_array("gradient_indices")}
         cfg = _override(C.VIHMCRunConfig(), num_samples=args.num_samples,
                         num_chains=args.num_chains, frozen_policy=args.policy,
+                        algorithm=args.algorithm,
                         save_vi_trace=(True if args.save_vi_trace else None))
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,

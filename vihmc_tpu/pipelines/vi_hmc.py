@@ -239,7 +239,7 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     if store is not None:
         store.save_config(cfg)
         store.save_array("hmc_params", res.samples)
-        if getattr(res, "aux_trace", None) is not None:
+        if cfg.save_vi_trace and getattr(res, "aux_trace", None) is not None:
             trace = res.aux_trace
             if isinstance(trace, dict):  # subsampled variant: {'frozen','tidx'}
                 trace = trace["frozen"]
