@@ -36,6 +36,41 @@ def test_resumable_matches_uninterrupted(tmp_path):
                                np.asarray(full.samples), atol=1e-5)
 
 
+def test_resumable_windowed_mass_matches_uninterrupted(tmp_path):
+    """Stateful adaptation (windowed metric + dual averaging) must survive the
+    segment boundaries and a checkpoint round-trip bit-for-bit."""
+    from vihmc_tpu.dists import diag_normal_logpdf_sum
+
+    def lp(q):
+        return diag_normal_logpdf_sum(q, 0.0, jnp.array([0.2, 5.0]))
+
+    cfg = HMCConfig(num_samples=120, num_leapfrog=4, step_size=0.05, burn=60,
+                    sampler="hmc_nuts", adapt_mass=True,
+                    mass_schedule="windowed")
+    inits = jnp.zeros((2, 2))
+    key = jax.random.key(3)
+    inv0 = jnp.array([1.0, 1.0])
+
+    full = sample_chains_resumable(lp, inits, key, cfg, segment_size=30,
+                                   inv_mass=inv0)
+    d = str(tmp_path / "ckw")
+    sample_chains_resumable(lp, inits, key,
+                            HMCConfig(num_samples=60, num_leapfrog=4,
+                                      step_size=0.05, burn=60,
+                                      sampler="hmc_nuts", adapt_mass=True,
+                                      mass_schedule="windowed"),
+                            segment_size=30, checkpoint_dir=d, inv_mass=inv0)
+    resumed = sample_chains_resumable(lp, inits, key, cfg, segment_size=30,
+                                      checkpoint_dir=d, inv_mass=inv0)
+    np.testing.assert_allclose(np.asarray(resumed.samples),
+                               np.asarray(full.samples), atol=1e-5)
+    # the carried metric picked up the anisotropy (short windows -> rough
+    # estimate; direction is what matters here, magnitude is tested in
+    # test_mass_adaptation.py with a long warmup)
+    inv_mass = np.asarray(resumed.final_state.inv_mass)
+    assert (inv_mass[:, 1] / inv_mass[:, 0] > 2.0).all()
+
+
 def test_resumable_statistics():
     cfg = HMCConfig(num_samples=600, num_leapfrog=6, step_size=0.4)
     res = sample_chains_resumable(std_normal_lp, jnp.zeros((2, 2)),

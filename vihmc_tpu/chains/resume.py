@@ -72,7 +72,8 @@ def sample_chains_resumable(
     # the flax struct / optax types survive the round trip)
     start_seg = 0
     collected = []
-    state = jax.vmap(lambda q: init_state(log_prob_fn, q, config, aux=aux))(init_positions)
+    state = jax.vmap(lambda q: init_state(log_prob_fn, q, config, aux=aux,
+                                          inv_mass=inv_mass))(init_positions)
     if checkpoint_dir is not None:
         step0 = latest_step(checkpoint_dir)
         if step0 is not None:
