@@ -184,6 +184,80 @@ def bench_grad_path(quick: bool, iters: int = 30):
     return out
 
 
+def bench_nn(quick: bool):
+    """Secondary workload (BASELINE.md north star covers both): ESS/s for
+    subspace VI-HMC on the 141-param regression MLP at the reference's
+    configuration (subspace 78/141 @ 90% captured variance, step 5e-4,
+    L=196 by the analytic rule, NLL tau_out=5e-2^2, refresh policy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.chains import sample_chains, effective_sample_size_np
+    from vihmc_tpu.data.synthetic import regression_data
+    from vihmc_tpu.dists.likelihoods import get_likelihood
+    from vihmc_tpu.dists.priors import DiagonalGaussianPrior
+    from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
+                               make_subspace_log_prob)
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines.common import make_flat_mlp
+
+    mlp = MLPConfig()
+    apply_flat, flat0, _ = make_flat_mlp(mlp)
+    d = flat0.shape[0]
+    data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
+    x, y = data["x_train"], data["y_train"]
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
+    sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
+    idx = np.sort(rng.choice(d, size=sub, replace=False))
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+
+    def full_ll(flat):
+        return like(apply_flat(flat, x), y, 5e-2 ** 2)
+
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    # 120 draws matches the operator bench methodology; measured on-chip the
+    # pooled ESS saturates near 16 by ~100 draws (refresh-policy noise floor),
+    # so longer runs only add wall clock
+    n_chains, n_samples, L = (4, 20, 8) if quick else (32, 120, 196)
+    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=5e-4,
+                    burn=n_samples // 5, sampler="hmc_nuts",
+                    target_accept=0.65)
+
+    def run(key):
+        return sample_chains(log_prob, inits, key, cfg,
+                             inv_mass=spec.sub_sigma() ** 2,
+                             aux=aux0, aux_refresh=refresh)
+
+    res = run(jax.random.key(1))
+    np.asarray(res.samples)
+    t0 = time.perf_counter()
+    res = run(jax.random.key(2))
+    samples = np.asarray(res.samples)
+    elapsed = time.perf_counter() - t0
+    ess = effective_sample_size_np(samples[:, n_samples // 5:, :])
+    return {
+        "elapsed_s": elapsed,
+        "samples_per_s": n_chains * n_samples / elapsed,
+        "ess_median": float(np.median(ess)),
+        "ess_per_s": float(np.median(ess)) / elapsed,
+        "acceptance": float(res.acceptance_rate),
+        "subspace_dim": samples.shape[-1],
+        "chains": n_chains,
+        "draws": n_samples,
+    }
+
+
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
     """Identical posterior + kernel in torch on CPU (reference substrate)."""
     import torch
@@ -296,7 +370,22 @@ def main():
     ap.add_argument("--extras", action="store_true",
                     help="also measure bf16-forward and fused-Pallas-kernel "
                          "variants (extra compiles; not part of the headline)")
+    ap.add_argument("--workload", choices=["operator", "nn"], default="operator",
+                    help="'nn' benches the regression-MLP VI-HMC instead "
+                         "(secondary north-star workload; separate metric)")
     args = ap.parse_args()
+
+    if args.workload == "nn":
+        nn_stats = bench_nn(args.quick)
+        print(json.dumps({
+            "metric": "ess_per_sec_vihmc_nn",
+            "value": round(nn_stats["ess_per_s"], 3),
+            "unit": "effective_samples/s/chip",
+            "vs_baseline": None,
+            "extras": {k: (round(v, 4) if isinstance(v, float) else v)
+                       for k, v in nn_stats.items()},
+        }))
+        return
 
     jax_stats, _ = bench_jax(args.quick)
 
