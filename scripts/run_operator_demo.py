@@ -43,7 +43,7 @@ def main():
         model = DeepONetConfig()  # reference scale (~172k params)
         n_train, n_valid, nx, nt, p = 1000, 200, 101, 101, 512
         epochs = args.epochs or 200   # scan-path VI: one dispatch per epoch
-        draws, chains = args.draws or 500, 16
+        draws, chains = args.draws or 150, 16
 
     key = jax.random.key(0)
     store = RunStore(args.out)
@@ -79,8 +79,11 @@ def main():
 
     # --- stage 3: VI-HMC over the subspace ---
     t0 = time.time()
+    # tuned trajectory from the on-chip sweep (docs/performance.md): L=31 @
+    # 0.55 target mixes ~15x better in ESS/s than the analytic L=7 rule
     hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=1e-4,
                                post_std=0.0214, num_chains=chains,
+                               num_leapfrog=31, target_accept=0.55,
                                loss="NLL", tau_out=1.0,
                                frozen_policy="refresh", vi_mass=True,
                                adapt_step_size=True)

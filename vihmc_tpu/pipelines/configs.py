@@ -119,9 +119,12 @@ class VIHMCRunConfig:
                                      # lengths replace the analytic L rule)
     nuts_max_depth: int = 6
     chees_max_steps: int = 256       # leapfrog cap per draw for 'chees'
+    num_leapfrog: Optional[int] = None  # explicit L (default: analytic rule)
 
     @property
     def L(self) -> int:
+        if self.num_leapfrog is not None:
+            return self.num_leapfrog
         return trajectory_length(self.post_std**2, self.step_size)
 
     @property
