@@ -48,10 +48,12 @@ def run_variant(name, quick):
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
+    import re
+
     label = name
-    if name.startswith("c") and "_" in name:  # e.g. c64_ta55L31, c16_head
-        c_str, name = name.split("_", 1)
-        n_chains = int(c_str[1:])
+    m = re.match(r"^c(\d+)_(.+)$", name)  # e.g. c64_ta55L31, c16_head
+    if m:
+        n_chains, name = int(m.group(1)), m.group(2)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     inv_mass = spec.sub_sigma() ** 2
@@ -132,7 +134,7 @@ def run_variant(name, quick):
         steps = np.asarray(res.aux_trace["n_steps"])
         grads_per_draw = round(float(steps.mean()), 1)
         extra = {"final_T": round(float(np.exp(res.final_state.log_T)), 6),
-                 "final_eps": round(float(np.exp(res.final_state.log_eps_avg)), 6)}
+                 "final_eps": round(float(np.exp(res.final_state.da.log_step_avg)), 6)}
     out = {
         "variant": label,
         **extra,

@@ -82,6 +82,50 @@ def test_chees_beats_short_fixed_l_on_correlated_target():
     assert ess_c / grads_c > ess_h / grads_h
 
 
+def test_chees_sharded_matches_unsharded():
+    """Coupled-chain ChEES under a ('chains','data') mesh: cross-chain
+    reductions become collectives; results must match the single-device run."""
+    from vihmc_tpu.chains import make_chain_mesh, sample_chains_chees
+
+    def lp(q):
+        return -0.5 * jnp.sum(q * q)
+
+    inits = jax.random.normal(jax.random.key(8), (8, 3))
+    cfg = ChEESConfig(num_samples=40, step_size=0.3, init_traj_length=0.6,
+                      burn=20, max_steps=16)
+    res_plain = sample_chains_chees(lp, inits, jax.random.key(9), cfg)
+    mesh = make_chain_mesh(n_chain_shards=4, n_data_shards=2)
+    res_mesh = sample_chains_chees(lp, inits, jax.random.key(9), cfg, mesh=mesh)
+    # sharded reduction order perturbs fp32 cross-chain means and the
+    # Hamiltonian flow amplifies it; agreement is statistical, with the
+    # adapted hyper-parameters near-identical
+    np.testing.assert_allclose(np.asarray(res_mesh.samples),
+                               np.asarray(res_plain.samples), atol=0.05)
+    np.testing.assert_allclose(float(res_mesh.final_state.log_T),
+                               float(res_plain.final_state.log_T), atol=0.05)
+    np.testing.assert_allclose(float(res_mesh.final_state.da.log_step_avg),
+                               float(res_plain.final_state.da.log_step_avg),
+                               atol=0.05)
+
+
+def test_chees_divergences_do_not_poison_adaptation():
+    """A huge initial step makes early trajectories diverge (non-finite
+    proposals); the cross-chain ChEES statistics must stay finite and the
+    sampler must still recover the target once dual averaging shrinks eps."""
+    def lp(q):
+        return -0.5 * jnp.sum((q / 0.05) ** 2)  # narrow target
+
+    cfg = ChEESConfig(num_samples=500, step_size=5.0, init_traj_length=10.0,
+                      burn=300, max_steps=32)
+    inits = 0.05 * jax.random.normal(jax.random.key(10), (8, 2))
+    res = jax.jit(lambda k: chees_sample(lp, inits, k, cfg))(jax.random.key(11))
+    assert np.asarray(res.divergent).any()  # the scenario actually triggered
+    assert np.isfinite(float(res.final_state.log_T))
+    assert np.isfinite(np.asarray(res.samples)).all()
+    post = np.asarray(res.samples[:, 300:, :]).reshape(-1, 2)
+    np.testing.assert_allclose(post.std(0), 0.05, rtol=0.3)
+
+
 def test_chees_aux_refresh_per_chain():
     """Subspace-style aux: per-chain frozen vectors, refreshed per draw."""
     d, sub = 6, 3

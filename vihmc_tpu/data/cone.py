@@ -135,7 +135,11 @@ def load_cone(path: Optional[str], n_train: int, n_valid: int):
     else:
         raw = np.load(path)
     feat = {k: np.asarray(raw[k], np.float32) for k in ("Xf", "Xp", "Y")}
-    feat["Y"] = feat["Y"].reshape(feat["Xf"].shape[0])
+    n = feat["Xf"].shape[0]
+    if n < n_train + n_valid:
+        raise ValueError(f"Cone dataset has {n} examples; "
+                         f"n_train + n_valid = {n_train + n_valid} requested")
+    feat["Y"] = feat["Y"].reshape(n)
     feat = normalize_cone(feat)
     train = {k: v[:n_train] for k, v in feat.items()}
     valid = {k: v[n_train:n_train + n_valid] for k, v in feat.items()}

@@ -40,8 +40,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from vihmc_tpu.hmc.adaptation import GAMMA, KAPPA, T0
-from vihmc_tpu.hmc.kernel import SampleResult, _normalize_log_prob
+from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update
+from vihmc_tpu.hmc.kernel import (DIVERGENCE_THRESHOLD, SampleResult,
+                                  _normalize_log_prob)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,7 +58,6 @@ class ChEESConfig:
     adam_lr: float = 0.025            # learning rate for log T
     adam_b1: float = 0.9
     adam_b2: float = 0.999
-    store_burn: bool = True
 
 
 @struct.dataclass
@@ -65,11 +65,7 @@ class ChEESState:
     positions: jnp.ndarray    # (C, D)
     log_probs: jnp.ndarray    # (C,)
     grads: jnp.ndarray        # (C, D)
-    log_eps: jnp.ndarray      # dual-averaging current iterate
-    log_eps_avg: jnp.ndarray
-    h_bar: jnp.ndarray
-    da_mu: jnp.ndarray
-    da_t: jnp.ndarray
+    da: DualAveragingState    # step-size adaptation (cross-chain mean accept)
     log_T: jnp.ndarray        # trajectory integration time (log)
     adam_m: jnp.ndarray
     adam_v: jnp.ndarray
@@ -98,7 +94,7 @@ def chees_sample(
     Returns a :class:`SampleResult` whose arrays have shape (C, S, ...) —
     the same convention as :func:`vihmc_tpu.chains.sample_chains`. The final
     adapted step size / trajectory length live in ``final_state``
-    (``exp(log_eps_avg)``, ``exp(log_T)``).
+    (``exp(da.log_step_avg)``, ``exp(log_T)``).
     """
     fn = _normalize_log_prob(log_prob_fn)
     vag_one = jax.value_and_grad(fn)
@@ -112,12 +108,9 @@ def chees_sample(
         return vag(q, a)
 
     lp0, g0 = _vag(init_positions, aux)
-    log_eps0 = jnp.log(jnp.asarray(config.step_size, jnp.float32))
     state0 = ChEESState(
         positions=init_positions, log_probs=lp0, grads=g0,
-        log_eps=log_eps0, log_eps_avg=log_eps0,
-        h_bar=jnp.zeros(()), da_mu=jnp.log(10.0) + log_eps0,
-        da_t=jnp.zeros(()),
+        da=da_init(config.step_size),
         log_T=jnp.log(jnp.asarray(config.init_traj_length, jnp.float32)),
         adam_m=jnp.zeros(()), adam_v=jnp.zeros(()), adam_t=jnp.zeros(()),
         aux=aux,
@@ -137,8 +130,8 @@ def chees_sample(
             aux_t = state.aux
             lp0, g0 = state.log_probs, state.grads
 
-        eps = jnp.where(in_burn, jnp.exp(state.log_eps),
-                        jnp.exp(state.log_eps_avg))
+        eps = jnp.where(in_burn, jnp.exp(state.da.log_step),
+                        jnp.exp(state.da.log_step_avg))
         T = jnp.exp(state.log_T)
 
         # --- shared Halton jitter -> scalar dynamic step count ---
@@ -168,7 +161,7 @@ def chees_sample(
             finite, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0))), 0.0)
         log_us = jnp.log(jax.random.uniform(k_u, (n_chains,)))
         accept = finite & (log_us < delta)
-        divergent = ~finite
+        divergent = ~finite | (delta < DIVERGENCE_THRESHOLD)
 
         sel = lambda a, b: jnp.where(accept[:, None], a, b)
         positions = sel(q1, state.positions)
@@ -176,24 +169,24 @@ def chees_sample(
         grads = sel(g1, g0)
 
         # --- dual averaging on the cross-chain mean acceptance ---
-        mean_accept = jnp.mean(accept_prob)
-        da_t = state.da_t + 1.0
-        eta_h = 1.0 / (da_t + T0)
-        h_bar = (1.0 - eta_h) * state.h_bar + eta_h * (config.target_accept - mean_accept)
-        log_eps_new = state.da_mu - jnp.sqrt(da_t) / GAMMA * h_bar
-        eta_x = da_t ** (-KAPPA)
-        log_eps_avg_new = eta_x * log_eps_new + (1.0 - eta_x) * state.log_eps_avg
+        da_new = da_update(state.da, jnp.mean(accept_prob),
+                           config.target_accept)
 
-        # --- ChEES gradient across chains (collectives over the chain axis) ---
+        # --- ChEES gradient across chains (collectives over the chain axis).
+        # A divergent trajectory's proposal can carry inf/NaN coordinates;
+        # substituting the start position keeps the cross-chain means finite
+        # (its accept_prob weight is already 0). ---
+        q1_safe = jnp.where(finite[:, None], q1, state.positions)
+        v1 = inv_mass * jnp.where(finite[:, None], p1, 0.0)
         m_old = jnp.mean(state.positions, axis=0)
-        m_new = jnp.mean(q1, axis=0)
+        m_new = jnp.mean(q1_safe, axis=0)
         d_old = jnp.sum((state.positions - m_old) ** 2, axis=-1)
-        d_new = jnp.sum((q1 - m_new) ** 2, axis=-1)
-        v1 = inv_mass * p1
-        dir_dot = jnp.sum((q1 - m_new) * v1, axis=-1)
+        d_new = jnp.sum((q1_safe - m_new) ** 2, axis=-1)
+        dir_dot = jnp.sum((q1_safe - m_new) * v1, axis=-1)
         w = accept_prob / jnp.maximum(jnp.sum(accept_prob), 1e-12)
         # d ChEES / d log T  (t_i = u*T, so chain rule brings a u*T factor)
         grad_T = jnp.sum(w * (d_new - d_old) * dir_dot) * u * T
+        grad_T = jnp.where(jnp.isfinite(grad_T), grad_T, 0.0)
 
         adam_t = state.adam_t + 1.0
         adam_m = config.adam_b1 * state.adam_m + (1 - config.adam_b1) * grad_T
@@ -208,10 +201,7 @@ def chees_sample(
         upd = lambda new, old: jnp.where(in_burn, new, old)
         new_state = ChEESState(
             positions=positions, log_probs=log_probs, grads=grads,
-            log_eps=upd(log_eps_new, state.log_eps),
-            log_eps_avg=upd(log_eps_avg_new, state.log_eps_avg),
-            h_bar=upd(h_bar, state.h_bar), da_mu=state.da_mu,
-            da_t=upd(da_t, state.da_t),
+            da=jax.tree_util.tree_map(upd, da_new, state.da),
             log_T=upd(log_T_new, state.log_T),
             adam_m=upd(adam_m, state.adam_m),
             adam_v=upd(adam_v, state.adam_v),

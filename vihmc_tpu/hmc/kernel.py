@@ -151,6 +151,32 @@ class SampleResult:
         return jnp.sum(self.divergent.astype(jnp.int32))
 
 
+def windowed_metric_update(welford, position, iteration, win_start, win_ends,
+                           base_inv_mass, carried_inv_mass):
+    """One windowed-warmup bookkeeping step (shared by HMC and NUTS kernels).
+
+    Accumulates ``position`` into the Welford state inside the window region;
+    at the last draw of each window, replaces the carried diagonal inverse
+    mass with the shrunk variance estimate (shrinkage toward
+    ``base_inv_mass`` — e.g. the VI-posterior variances — rather than Stan's
+    fixed 1e-3*I) and resets the accumulator.
+
+    Returns ``(welford, inv_mass, is_window_end)``.
+    """
+    in_window = (iteration >= win_start) & (iteration < win_ends[-1])
+    is_win_end = jnp.any(iteration == jnp.asarray(win_ends) - 1)
+    new_w = welford.update(position)
+    welford = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(in_window, a, b), new_w, welford)
+    n = welford.count
+    base = base_inv_mass * jnp.ones_like(position)
+    var_hat = (n / (n + 5.0)) * welford.variance + (5.0 / (n + 5.0)) * base
+    inv_mass = jnp.where(is_win_end, var_hat, carried_inv_mass)
+    welford = jax.tree_util.tree_map(
+        lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
+    return welford, inv_mass, is_win_end
+
+
 def _num_positional_params(fn) -> int:
     import inspect
 
@@ -306,23 +332,9 @@ def make_kernel(
         is_win_end = None
         inv_mass_state = state.inv_mass
         if windowed:
-            # accumulate inside [win_start, win_ends[-1]); at the last draw of
-            # each window: metric <- shrunk variances, accumulator resets
-            in_window = (iteration >= win_start) & (iteration < win_ends[-1])
-            is_win_end = jnp.any(iteration == jnp.asarray(win_ends) - 1)
-            new_w = state.welford.update(position)
-            welford = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_window, a, b), new_w, state.welford)
-            n = welford.count
-            # shrink toward the caller's inv_mass (e.g. the VI-posterior
-            # variances) rather than Stan's fixed 1e-3*I — with an informative
-            # preconditioner available, small windows fall back to it
-            base = inv_mass * jnp.ones_like(state.position)
-            var_hat = (n / (n + 5.0)) * welford.variance \
-                + (5.0 / (n + 5.0)) * base
-            inv_mass_state = jnp.where(is_win_end, var_hat, state.inv_mass)
-            welford = jax.tree_util.tree_map(
-                lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
+            welford, inv_mass_state, is_win_end = windowed_metric_update(
+                state.welford, position, iteration, win_start, win_ends,
+                inv_mass, state.inv_mass)
         elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(position)

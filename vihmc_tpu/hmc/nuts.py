@@ -37,6 +37,7 @@ from vihmc_tpu.hmc.kernel import (
     _normalize_log_prob,
     init_state,
     mass_window_schedule,
+    windowed_metric_update,
 )
 
 #: energy-error threshold for divergence (Stan's default is 1000 in -log space)
@@ -278,19 +279,9 @@ def nuts_sample(
         is_win_end = None
         inv_mass_state = state.inv_mass
         if windowed:
-            in_window = (iteration >= win_start) & (iteration < win_ends[-1])
-            is_win_end = jnp.any(iteration == jnp.asarray(win_ends) - 1)
-            new_w = state.welford.update(traj.q_prop)
-            welford = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_window, a, b), new_w, state.welford)
-            n = welford.count
-            # shrink toward the caller's inv_mass (see hmc/kernel.py windowed)
-            base = inv_mass * jnp.ones_like(state.position)
-            var_hat = (n / (n + 5.0)) * welford.variance \
-                + (5.0 / (n + 5.0)) * base
-            inv_mass_state = jnp.where(is_win_end, var_hat, state.inv_mass)
-            welford = jax.tree_util.tree_map(
-                lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
+            welford, inv_mass_state, is_win_end = windowed_metric_update(
+                state.welford, traj.q_prop, iteration, win_start, win_ends,
+                inv_mass, state.inv_mass)
         elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(traj.q_prop)

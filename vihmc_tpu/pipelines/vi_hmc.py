@@ -195,6 +195,13 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         from vihmc_tpu.hmc.chees import ChEESConfig
         from vihmc_tpu.chains import sample_chains_chees
 
+        if cfg.adapt_mass:
+            raise ValueError("adapt_mass is not supported with "
+                             "algorithm='chees' (ChEES adapts step size and "
+                             "trajectory length; use vi_mass for a fixed "
+                             "preconditioner)")
+        # ChEES always dual-averages the step size; targets above the
+        # method's 0.651 optimum are clamped
         chees_cfg = ChEESConfig(num_samples=cfg.num_samples,
                                 step_size=cfg.step_size,
                                 init_traj_length=max(cfg.L, 1) * cfg.step_size,
@@ -303,7 +310,10 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
               if train_split["trunk_in"].ndim == 3
               else train_split["trunk_in"].shape[0])
     subsample = None
-    if cfg.sample_data and cfg.p < n_grid:
+    # per-draw query subsampling assumes a shared (P, 2) grid (the reference
+    # notes sample_data is "Always false for cone", VI_HMC/config.py:23)
+    if (cfg.sample_data and cfg.p < n_grid
+            and train_split["trunk_in"].ndim == 2):
         subsample = {
             "n_points": n_grid,
             "p": cfg.p,

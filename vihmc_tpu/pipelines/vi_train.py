@@ -211,7 +211,9 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
     per_example = train_split["trunk_in"].ndim == 3  # e.g. Cone (data/cone.py)
     n_grid = (train_split["trunk_in"].shape[-2] if per_example
               else train_split["trunk_in"].shape[0])
-    subsampling = cfg.p < n_grid
+    # query subsampling assumes a shared grid; per-example datasets always
+    # use their full per-example query set
+    subsampling = (not per_example) and cfg.p < n_grid
 
     if isinstance(cfg.vi.beta_type, float):
         return _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
