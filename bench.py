@@ -37,7 +37,7 @@ BENCH_L = 31
 BENCH_TARGET_ACCEPT = 0.55
 
 
-def build_problem(quick: bool, compute_dtype=None):
+def build_problem(quick: bool, compute_dtype=None, draws=None):
     import jax
     import jax.numpy as jnp
 
@@ -53,6 +53,8 @@ def build_problem(quick: bool, compute_dtype=None):
         # 32 chains: ESS/s optimum from scripts/tpu_chain_sweep.py
         # (C=8: 1.55, C=16: 2.05, C=32: 2.54, C=64: 2.33 ESS/s)
         n_fn, n_pts, sub_dim, n_chains, n_samples = 1000, 10201, 2048, 32, 120
+    if draws is not None:
+        n_samples = draws
 
     rng = np.random.default_rng(0)
     apply_flat, flat0, _ = make_flat_deeponet(cfg, compute_dtype=compute_dtype)
@@ -72,23 +74,28 @@ def build_problem(quick: bool, compute_dtype=None):
     return cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples
 
 
-def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
+def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
+              draws=None, burn=None):
     # Default composed: measured INSIDE the compiled sampling scan (after the
     # compile-cache fix) the composed XLA likelihood reaches 2187 chain-grads/s
     # vs 1549 for the chain-batched fused Pallas kernel at 16 chains — XLA
     # overlaps the composed graph's HBM traffic with compute across leapfrog
     # steps. (In isolated dispatch the ordering reverses; scripts/.)
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from vihmc_tpu.chains import sample_chains, effective_sample_size_np
+    from vihmc_tpu.chains.resume import sample_chains_resumable
     from vihmc_tpu.hmc import HMCConfig, FrozenPolicy, SubspaceSpec, make_subspace_log_prob
     from vihmc_tpu.dists.priors import DiagonalGaussianPrior
     from vihmc_tpu.dists.likelihoods import get_likelihood
     from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
-        build_problem(quick, compute_dtype)
+        build_problem(quick, compute_dtype, draws=draws)
+    n_burn = (n_samples // 5) if burn is None else burn
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
 
@@ -110,25 +117,45 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
-                        step_size=1e-4, burn=n_samples // 5,
+                        step_size=1e-4, burn=n_burn,
                         sampler="hmc_nuts",
                         target_accept=BENCH_TARGET_ACCEPT)
 
-    def run(key):
-        return sample_chains(log_prob, inits, key, hmc_cfg,
-                             inv_mass=spec.sub_sigma() ** 2,
-                             aux=aux0, aux_refresh=refresh)
+    # Long runs are segmented into 120-draw dispatches of ONE compiled scan
+    # (the backend's TPU worker has crashed on single dispatches beyond
+    # ~120 draws x 32 chains at reference scale — CLAUDE.md / performance.md;
+    # segmentation is also how chains/resume.py recommends running long
+    # chains in production). ESS/elapsed methodology is unchanged: elapsed
+    # covers every segment including burn.
+    seg = 120
+    if n_samples > seg:
+        def run(key, n=n_samples):
+            cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
+            return sample_chains_resumable(
+                log_prob, inits, key, cfg_n, segment_size=seg,
+                inv_mass=spec.sub_sigma() ** 2, aux=aux0, aux_refresh=refresh)
+
+        def warmup(key):
+            return run(key, n=seg)
+    else:
+        def run(key):
+            return sample_chains(log_prob, inits, key, hmc_cfg,
+                                 inv_mass=spec.sub_sigma() ** 2,
+                                 aux=aux0, aux_refresh=refresh)
+
+        warmup = run
 
     # compile + warm up (fall back to the composed likelihood if the fused
     # Pallas path fails to trace/compile under vmap on this backend)
     try:
-        res = run(jax.random.key(1))
+        res = warmup(jax.random.key(1))
         np.asarray(res.samples)
     except Exception as e:
         if use_fused and compute_dtype is None:
             print(f"# fused likelihood failed ({type(e).__name__}); "
                   f"falling back to composed", file=sys.stderr)
-            return bench_jax(quick, compute_dtype, use_fused=False)
+            return bench_jax(quick, compute_dtype, use_fused=False,
+                             draws=draws, burn=burn)
         raise
 
     t0 = time.perf_counter()
@@ -136,8 +163,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
     samples = np.asarray(res.samples)
     elapsed = time.perf_counter() - t0
 
-    burn = n_samples // 5
-    ess = effective_sample_size_np(samples[:, burn:, :])
+    ess = effective_sample_size_np(samples[:, n_burn:, :])
     stats = {
         "elapsed_s": elapsed,
         "samples_per_s": n_chains * n_samples / elapsed,
@@ -148,7 +174,12 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False):
         "subspace_dim": samples.shape[-1],
         "chains": n_chains,
         "draws": n_samples,
+        "burn": n_burn,
     }
+    if n_samples > 120 and n_burn < 120:
+        # within-run check that per-draw ESS efficiency holds past 120 draws
+        ess120 = effective_sample_size_np(samples[:, n_burn:120, :])
+        stats["ess_median_first120"] = float(np.median(ess120))
     return stats, (cfg, mu, sigma, idx)
 
 
@@ -373,6 +404,10 @@ def main():
     ap.add_argument("--workload", choices=["operator", "nn"], default="operator",
                     help="'nn' benches the regression-MLP VI-HMC instead "
                          "(secondary north-star workload; separate metric)")
+    ap.add_argument("--draws", type=int, default=None,
+                    help="override total draws (operator workload)")
+    ap.add_argument("--burn", type=int, default=None,
+                    help="override burn/adaptation draws (default draws//5)")
     args = ap.parse_args()
 
     if args.workload == "nn":
@@ -387,7 +422,7 @@ def main():
         }))
         return
 
-    jax_stats, _ = bench_jax(args.quick)
+    jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

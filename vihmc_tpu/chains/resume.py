@@ -12,6 +12,8 @@ per-segment PRNG keys derive from (base key, segment index).
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 import os
 from typing import Optional
 
@@ -21,6 +23,38 @@ import numpy as np
 
 from vihmc_tpu.hmc.kernel import HMCConfig, SampleResult, make_kernel, init_state
 from vihmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint, latest_step
+
+
+@functools.lru_cache(maxsize=64)
+def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
+                          aux_refresh):
+    """One compiled scan of ``segment_size`` draws, reused across segments AND
+    across calls (the kernel never reads ``config.num_samples``, so it is
+    normalized out of the cache key). Array inputs (state, key, inv_mass) are
+    traced arguments, mirroring ``parallel._build_chain_sampler``."""
+
+    def run_segment(state, seg_idx, key, inv_mass):
+        kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
+                             aux_refresh=aux_refresh)
+        seg_key = jax.random.fold_in(key, seg_idx)
+        n_chains = state.position.shape[0]
+
+        def one_chain(chain_state, chain_idx):
+            ck = jax.random.fold_in(seg_key, chain_idx)
+            start = seg_idx * segment_size
+
+            def step(st, xs):
+                k, i = xs
+                st, info = kernel(st, k, i)
+                return st, {"position": st.position, **info}
+
+            keys = jax.random.split(ck, segment_size)
+            iters = start + jnp.arange(segment_size)
+            return jax.lax.scan(step, chain_state, (keys, iters))
+
+        return jax.vmap(one_chain)(state, jnp.arange(n_chains))
+
+    return jax.jit(run_segment)
 
 
 def sample_chains_resumable(
@@ -45,27 +79,13 @@ def sample_chains_resumable(
     n_total = config.num_samples
     n_segments = -(-n_total // segment_size)
 
-    kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass, aux_refresh=aux_refresh)
+    inv_mass = jnp.asarray(inv_mass, jnp.float32)
+    runner = _build_segment_runner(
+        log_prob_fn, dataclasses.replace(config, num_samples=0), segment_size,
+        aux_refresh)
 
     def run_segment(state, seg_idx):
-        seg_key = jax.random.fold_in(key, seg_idx)
-
-        def one_chain(chain_state, chain_idx):
-            ck = jax.random.fold_in(seg_key, chain_idx)
-            start = seg_idx * segment_size
-
-            def step(st, xs):
-                k, i = xs
-                st, info = kernel(st, k, i)
-                return st, {"position": st.position, **info}
-
-            keys = jax.random.split(ck, segment_size)
-            iters = start + jnp.arange(segment_size)
-            return jax.lax.scan(step, chain_state, (keys, iters))
-
-        return jax.vmap(one_chain)(state, jnp.arange(n_chains))
-
-    run_segment = jax.jit(run_segment, static_argnums=())
+        return runner(state, jnp.asarray(seg_idx), key, inv_mass)
 
     # initial or resumed state (samples are stored as plain .npy next to the
     # orbax state checkpoint; the state restores against a live template so
