@@ -75,7 +75,7 @@ def build_problem(quick: bool, compute_dtype=None, draws=None):
 
 
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
-              draws=None, burn=None):
+              draws=None, burn=None, use_gram: bool = False):
     # Default composed: measured INSIDE the compiled sampling scan (after the
     # compile-cache fix) the composed XLA likelihood reaches 2187 chain-grads/s
     # vs 1549 for the chain-batched fused Pallas kernel at 16 chains — XLA
@@ -115,6 +115,17 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
+    grad_fn = None
+    if use_gram and compute_dtype is None:
+        # Gram-form trajectory gradient: no (B, P) array in the leapfrog hot
+        # loop; exact density still evaluated at every trajectory endpoint
+        # (vihmc_tpu/ops/gram_merge.py)
+        from vihmc_tpu.hmc import make_subspace_grad
+        from vihmc_tpu.ops import make_gram_grad_full
+
+        grad_full, _, _ = make_gram_grad_full(cfg, branch_x, trunk_x, y, 1.0)
+        grad_fn = make_subspace_grad(grad_full, spec, prior=prior)
+
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
                         step_size=1e-4, burn=n_burn,
@@ -133,7 +144,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
             return sample_chains_resumable(
                 log_prob, inits, key, cfg_n, segment_size=seg,
-                inv_mass=spec.sub_sigma() ** 2, aux=aux0, aux_refresh=refresh)
+                inv_mass=spec.sub_sigma() ** 2, aux=aux0, aux_refresh=refresh,
+                grad_fn=grad_fn)
 
         def warmup(key):
             return run(key, n=seg)
@@ -141,7 +153,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         def run(key):
             return sample_chains(log_prob, inits, key, hmc_cfg,
                                  inv_mass=spec.sub_sigma() ** 2,
-                                 aux=aux0, aux_refresh=refresh)
+                                 aux=aux0, aux_refresh=refresh,
+                                 grad_fn=grad_fn)
 
         warmup = run
 
@@ -408,6 +421,9 @@ def main():
                     help="override total draws (operator workload)")
     ap.add_argument("--burn", type=int, default=None,
                     help="override burn/adaptation draws (default draws//5)")
+    ap.add_argument("--gram", action="store_true",
+                    help="Gram-form trajectory gradients (no (B,P) array in "
+                         "the leapfrog loop; exact MH energies)")
     args = ap.parse_args()
 
     if args.workload == "nn":
@@ -422,7 +438,8 @@ def main():
         }))
         return
 
-    jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn)
+    jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
+                             use_gram=args.gram)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

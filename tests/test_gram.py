@@ -1,0 +1,241 @@
+"""Gram-form DeepONet gradients + the HMC kernel's grad_fn trajectory path.
+
+The Gram trick (vihmc_tpu/ops/gram_merge.py) computes the exact likelihood
+gradient without materializing the (B, P) prediction matrix; the kernel's
+``grad_fn`` option runs the leapfrog trajectory on such a gradient oracle and
+evaluates the exact density only at trajectory endpoints. Correctness bar:
+gradients match autodiff to fp32 rounding, and with ``grad_fn = grad(lp)``
+the sampler reproduces the default path draw-for-draw.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vihmc_tpu.chains import sample_chains
+from vihmc_tpu.chains.resume import sample_chains_resumable
+from vihmc_tpu.dists.likelihoods import get_likelihood
+from vihmc_tpu.dists.priors import DiagonalGaussianPrior, IsotropicGaussianPrior
+from vihmc_tpu.hmc import (FrozenPolicy, HMCConfig, SubspaceSpec,
+                           make_subspace_grad, make_subspace_log_prob, sample)
+from vihmc_tpu.models import DeepONetConfig
+from vihmc_tpu.ops import make_gram_grad_full, merge_nll_gram_cotangents
+from vihmc_tpu.ops.deeponet_merge import merge_nll_reference
+from vihmc_tpu.pipelines.common import make_flat_deeponet
+
+
+SMALL = DeepONetConfig(in_branch=11, in_trunk=5, width_branch=16,
+                       width_trunk=16, depth_branch=2, depth_trunk=2)
+
+
+def _problem(rng, cfg=SMALL, n_fn=13, n_pts=29):
+    branch_x = jnp.asarray(rng.normal(size=(n_fn, cfg.in_branch)), jnp.float32)
+    trunk_x = jnp.asarray(rng.random(size=(n_pts, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(n_fn, n_pts)), jnp.float32)
+    return branch_x, trunk_x, y
+
+
+def test_gram_cotangents_match_autodiff():
+    rng = np.random.default_rng(0)
+    b, p, k = 13, 29, 8
+    bout = jnp.asarray(rng.normal(size=(b, k)), jnp.float32)
+    tout = jnp.asarray(rng.normal(size=(p, k)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, p)), jnp.float32)
+    bias = jnp.asarray(0.37, jnp.float32)
+    tau = 0.8
+
+    want = jax.grad(lambda bo, to, bi: merge_nll_reference(bo, to, bi, y, tau),
+                    argnums=(0, 1, 2))(bout, tout, bias)
+    got = merge_nll_gram_cotangents(bout, tout, bias, y, tau)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_gram_cotangents_variance_clamp():
+    """tau below the torch gaussian_nll_loss eps clamps to eps (both paths)."""
+    rng = np.random.default_rng(3)
+    bout = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+    tout = jnp.asarray(rng.normal(size=(5, 3)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(4, 5)), jnp.float32)
+    want = jax.grad(lambda bo: merge_nll_reference(bo, tout, 0.0, y, 1e-9))(bout)
+    got, _, _ = merge_nll_gram_cotangents(bout, tout, 0.0, y, 1e-9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3)
+
+
+def test_gram_grad_full_matches_autodiff():
+    rng = np.random.default_rng(1)
+    branch_x, trunk_x, y = _problem(rng)
+    prior = IsotropicGaussianPrior(scale=0.5)
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    like = get_likelihood("NLL")
+    tau = 0.7
+
+    def log_post(flat):
+        return like(apply_flat(flat, branch_x, trunk_x), y, tau) \
+            + prior.log_prob(flat)
+
+    grad_full, flat0_g, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y,
+                                                tau, prior=prior)
+    np.testing.assert_allclose(np.asarray(flat0_g), np.asarray(flat0))
+
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+    want = jax.grad(log_post)(flat)
+    got = grad_full(flat)
+    # fp32 Gram cancellation: compare against the gradient's overall scale
+    scale = float(jnp.max(jnp.abs(want))) + 1e-8
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=5e-4)
+
+
+def test_gram_grad_guards():
+    rng = np.random.default_rng(5)
+    branch_x, trunk_x, y = _problem(rng)
+    with pytest.raises(ValueError):
+        make_gram_grad_full(dataclasses.replace(SMALL, noise_neurons=2),
+                            branch_x, trunk_x, y, 1.0)
+    with pytest.raises(ValueError):
+        make_gram_grad_full(SMALL, branch_x, jnp.tile(trunk_x[None], (3, 1, 1)),
+                            y[:3], 1.0)
+
+
+def test_subspace_grad_matches_autodiff():
+    rng = np.random.default_rng(2)
+    branch_x, trunk_x, y = _problem(rng)
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    d = flat0.shape[0]
+    mu = jnp.asarray(0.05 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.01 + 0.05 * rng.random(d), jnp.float32)
+    idx = np.sort(rng.choice(d, size=32, replace=False))
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def full_ll(flat):
+        return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
+
+    lp_like, aux0, _ = make_subspace_log_prob(full_ll, spec, FrozenPolicy.MEAN)
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    grad_full, _, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y, 1.0)
+    grad_fn = make_subspace_grad(grad_full, spec, prior=prior)
+
+    q = spec.sub_mu() + 0.02 * jnp.asarray(rng.normal(size=len(idx)), jnp.float32)
+    want = jax.grad(log_prob)(q, aux0)
+    got = grad_fn(q, aux0)
+    scale = float(jnp.max(jnp.abs(want))) + 1e-8
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=5e-4)
+
+
+def _gauss_target():
+    var = jnp.asarray([0.5, 1.0, 2.0, 4.0], jnp.float32)
+
+    def lp(q):
+        return -0.5 * jnp.sum(q * q / var)
+
+    return lp, var
+
+
+@pytest.mark.parametrize("jitter", [False, True])
+def test_grad_fn_exact_matches_default_path(jitter):
+    """grad_fn = grad(log_prob) must reproduce the autodiff path draw-for-draw."""
+    lp, var = _gauss_target()
+    cfg = HMCConfig(num_samples=40, num_leapfrog=7, step_size=0.3, burn=10,
+                    sampler="hmc_nuts", jitter_l=jitter)
+    q0 = jnp.ones(4)
+    key = jax.random.key(7)
+    base = sample(lp, q0, key, cfg)
+    via_grad_fn = sample(lp, q0, key, cfg, grad_fn=jax.grad(lp))
+    np.testing.assert_allclose(np.asarray(via_grad_fn.samples),
+                               np.asarray(base.samples), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(via_grad_fn.accepted),
+                                  np.asarray(base.accepted))
+
+
+def test_grad_fn_with_aux_refresh_matches_default_path():
+    var = jnp.asarray([0.5, 1.0, 2.0, 4.0], jnp.float32)
+
+    def lp(q, aux):
+        return -0.5 * jnp.sum((q - aux) ** 2 / var)
+
+    def refresh(key, aux):
+        return 0.1 * jax.random.normal(key, aux.shape)
+
+    grad_fn = jax.grad(lp)
+    cfg = HMCConfig(num_samples=30, num_leapfrog=5, step_size=0.3)
+    q0 = jnp.zeros((2, 4))
+    aux0 = jnp.zeros(4)
+    key = jax.random.key(3)
+    base = sample_chains(lp, q0, key, cfg, aux=aux0, aux_refresh=refresh)
+    got = sample_chains(lp, q0, key, cfg, aux=aux0, aux_refresh=refresh,
+                        grad_fn=grad_fn)
+    np.testing.assert_allclose(np.asarray(got.samples),
+                               np.asarray(base.samples), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_fn_resumable_matches_single_dispatch():
+    lp, _ = _gauss_target()
+    grad_fn = jax.grad(lp)
+    cfg = HMCConfig(num_samples=24, num_leapfrog=5, step_size=0.3)
+    q0 = jnp.zeros((2, 4))
+    key = jax.random.key(11)
+    seg = sample_chains_resumable(lp, q0, key, cfg, segment_size=8,
+                                  grad_fn=grad_fn)
+    assert seg.samples.shape == (2, 24, 4)
+    assert np.isfinite(np.asarray(seg.log_probs)).all()
+    # acceptance sane on a well-conditioned Gaussian
+    assert float(np.mean(np.asarray(seg.accepted))) > 0.5
+
+
+def test_grad_fn_splitting_rejected():
+    lp, _ = _gauss_target()
+    from vihmc_tpu.hmc.kernel import make_kernel
+
+    cfg = HMCConfig(integrator="splitting")
+    with pytest.raises(ValueError):
+        make_kernel(lp, cfg, shard_log_prob_fn=lambda q, s: lp(q),
+                    shard_data=jnp.ones((2, 3)), grad_fn=jax.grad(lp))
+
+
+def test_gram_grad_fn_end_to_end_sampler():
+    """Subspace VI-HMC with the Gram gradient: acceptance stays high (the
+    gradient is exact up to fp32 rounding) and the chain mixes."""
+    rng = np.random.default_rng(9)
+    branch_x, trunk_x, y = _problem(rng)
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    d = flat0.shape[0]
+    mu = jnp.asarray(0.05 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.01 + 0.02 * rng.random(d), jnp.float32)
+    idx = np.sort(rng.choice(d, size=24, replace=False))
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def full_ll(flat):
+        return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
+
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    grad_full, _, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y, 1.0)
+    grad_fn = make_subspace_grad(grad_full, spec, prior=prior)
+
+    cfg = HMCConfig(num_samples=50, num_leapfrog=8, step_size=1e-3, burn=10,
+                    sampler="hmc_nuts", target_accept=0.8)
+    inits = jnp.tile(spec.sub_mu()[None], (2, 1))
+    res = sample_chains(log_prob, inits, jax.random.key(1), cfg,
+                        inv_mass=spec.sub_sigma() ** 2, aux=aux0,
+                        aux_refresh=refresh, grad_fn=grad_fn)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    assert float(res.acceptance_rate) > 0.4
+    # draws actually move (chain not stuck)
+    assert float(np.std(np.asarray(res.samples[:, 10:, 0]))) > 0.0

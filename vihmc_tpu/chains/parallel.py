@@ -50,7 +50,7 @@ def shard_batch(mesh: Mesh, tree, axis: int = 0):
 
 @functools.lru_cache(maxsize=64)
 def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
-                         mesh):
+                         mesh, grad_fn):
     """One jitted multi-chain sampler per (log_prob, config, hooks, mesh).
 
     Caching here is essential: a fresh ``jax.jit(jax.vmap(...))`` object per
@@ -64,7 +64,7 @@ def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
     def one_chain(k, q0, inv_mass, aux, shard_data):
         return sample(log_prob_fn, q0, k, config, inv_mass=inv_mass, aux=aux,
                       aux_refresh=aux_refresh, shard_log_prob_fn=shard_log_prob_fn,
-                      shard_data=shard_data)
+                      shard_data=shard_data, grad_fn=grad_fn)
 
     vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None, None))
     if mesh is None:
@@ -91,6 +91,7 @@ def sample_chains(
     shard_log_prob_fn=None,
     shard_data=None,
     mesh: Optional[Mesh] = None,
+    grad_fn=None,
 ) -> SampleResult:
     """Run C independent chains. Result arrays gain a leading chains axis.
 
@@ -106,7 +107,7 @@ def sample_chains(
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
 
     fn = _build_chain_sampler(log_prob_fn, config, aux_refresh,
-                              shard_log_prob_fn, mesh)
+                              shard_log_prob_fn, mesh, grad_fn)
     return fn(chain_keys, init_positions, inv_mass, aux, shard_data)
 
 

@@ -27,7 +27,7 @@ from vihmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint, latest_ste
 
 @functools.lru_cache(maxsize=64)
 def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
-                          aux_refresh):
+                          aux_refresh, grad_fn=None):
     """One compiled scan of ``segment_size`` draws, reused across segments AND
     across calls (the kernel never reads ``config.num_samples``, so it is
     normalized out of the cache key). Array inputs (state, key, inv_mass) are
@@ -35,7 +35,7 @@ def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
 
     def run_segment(state, seg_idx, key, inv_mass):
         kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
-                             aux_refresh=aux_refresh)
+                             aux_refresh=aux_refresh, grad_fn=grad_fn)
         seg_key = jax.random.fold_in(key, seg_idx)
         n_chains = state.position.shape[0]
 
@@ -68,6 +68,7 @@ def sample_chains_resumable(
     aux=None,
     aux_refresh=None,
     progress: Optional[callable] = None,
+    grad_fn=None,
 ):
     """Like :func:`vihmc_tpu.chains.sample_chains` but in checkpointed segments.
 
@@ -82,7 +83,7 @@ def sample_chains_resumable(
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     runner = _build_segment_runner(
         log_prob_fn, dataclasses.replace(config, num_samples=0), segment_size,
-        aux_refresh)
+        aux_refresh, grad_fn)
 
     def run_segment(state, seg_idx):
         return runner(state, jnp.asarray(seg_idx), key, inv_mass)
@@ -93,7 +94,8 @@ def sample_chains_resumable(
     start_seg = 0
     collected = []
     state = jax.vmap(lambda q: init_state(log_prob_fn, q, config, aux=aux,
-                                          inv_mass=inv_mass))(init_positions)
+                                          inv_mass=inv_mass,
+                                          grad_fn=grad_fn))(init_positions)
     if checkpoint_dir is not None:
         step0 = latest_step(checkpoint_dir)
         if step0 is not None:

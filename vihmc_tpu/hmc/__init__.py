@@ -7,8 +7,9 @@ from vihmc_tpu.hmc.kernel import (
     make_kernel,
 )
 from vihmc_tpu.hmc.adaptation import DualAveragingState, da_init, da_update, find_reasonable_step_size
-from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
-from vihmc_tpu.hmc.subspace import FrozenPolicy, make_subspace_log_prob, SubspaceSpec
+from vihmc_tpu.hmc.integrators import leapfrog, leapfrog_grad_only, split_leapfrog
+from vihmc_tpu.hmc.subspace import (FrozenPolicy, make_subspace_grad,
+                                    make_subspace_log_prob, SubspaceSpec)
 from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
 from vihmc_tpu.hmc.chees import ChEESConfig, chees_sample
 
@@ -38,9 +39,11 @@ __all__ = [
     "da_update",
     "find_reasonable_step_size",
     "leapfrog",
+    "leapfrog_grad_only",
     "split_leapfrog",
     "FrozenPolicy",
     "make_subspace_log_prob",
+    "make_subspace_grad",
     "SubspaceSpec",
     "sample_model",
     "predict_model",

@@ -46,6 +46,32 @@ def leapfrog(value_and_grad_fn, q, p, grad, step_size, num_steps, inv_mass=1.0):
     return q, p, log_prob, grad
 
 
+def leapfrog_grad_only(grad_fn, q, p, grad, step_size, num_steps, inv_mass=1.0):
+    """``num_steps`` leapfrog steps using a gradient-only oracle.
+
+    Same trajectory as :func:`leapfrog` when ``grad_fn = grad(log_prob)``, but
+    never evaluates the density — for gradient oracles that are much cheaper
+    than value-and-grad (e.g. the Gram-form DeepONet gradient,
+    :mod:`vihmc_tpu.ops.gram_merge`). The caller evaluates the exact
+    log-density once at the returned endpoint for the MH test; any
+    deterministic ``grad_fn`` keeps the integrator reversible and
+    volume-preserving, so MH correctness is untouched.
+
+    Returns (q, p, grad).
+    """
+
+    def step(carry, _):
+        q, p, g = carry
+        p_half = p + 0.5 * step_size * g
+        q_new = q + step_size * (inv_mass * p_half)
+        g_new = grad_fn(q_new)
+        p_new = p_half + 0.5 * step_size * g_new
+        return (q_new, p_new, g_new), None
+
+    (q, p, grad), _ = jax.lax.scan(step, (q, p, grad), None, length=num_steps)
+    return q, p, grad
+
+
 def split_leapfrog(shard_value_and_grad_fn, shard_data, q, p, step_size, num_steps, inv_mass=1.0):
     """Split-Hamiltonian integration over stacked data shards.
 

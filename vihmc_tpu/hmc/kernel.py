@@ -33,7 +33,8 @@ from flax import struct
 
 from vihmc_tpu.hmc.adaptation import (DualAveragingState, da_init, da_restart,
                                       da_update)
-from vihmc_tpu.hmc.integrators import leapfrog, split_leapfrog
+from vihmc_tpu.hmc.integrators import (leapfrog, leapfrog_grad_only,
+                                       split_leapfrog)
 
 #: log-Hamiltonian-error threshold below which a transition counts as divergent
 DIVERGENCE_THRESHOLD = -1000.0
@@ -194,9 +195,15 @@ def _normalize_log_prob(log_prob_fn):
 
 
 def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
-               inv_mass=1.0) -> HMCState:
+               inv_mass=1.0, grad_fn=None) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
-    lp, g = jax.value_and_grad(fn)(position, aux)
+    if grad_fn is not None:
+        # state.grad must hold the SAME gradient field the trajectory uses
+        # (reversibility); log_prob stays exact
+        lp = fn(position, aux)
+        g = _normalize_log_prob(grad_fn)(position, aux)
+    else:
+        lp, g = jax.value_and_grad(fn)(position, aux)
     welford = None
     if config.adapt_mass:
         welford = WelfordState(mean=jnp.zeros_like(position),
@@ -218,6 +225,7 @@ def make_kernel(
     aux_refresh: Optional[Callable] = None,
     shard_log_prob_fn: Optional[Callable] = None,
     shard_data=None,
+    grad_fn: Optional[Callable] = None,
 ):
     """Build ``kernel(state, key, iteration) -> (state, info)``.
 
@@ -231,9 +239,18 @@ def make_kernel(
     shard_log_prob_fn, shard_data : per-shard potential for the splitting
         integrator: (q, shard[, aux]) -> scalar, with ``shard_data`` leaves
         stacked along axis 0.
+    grad_fn : optional (q[, aux]) -> (D,) gradient oracle used for the
+        leapfrog trajectory INSTEAD of autodiff through ``log_prob_fn``
+        (e.g. the Gram-form DeepONet gradient,
+        :mod:`vihmc_tpu.ops.gram_merge`). The exact ``log_prob_fn`` is still
+        evaluated once per draw at the trajectory endpoint for the MH test,
+        so any deterministic gradient field keeps the sampler unbiased
+        (reversible, volume-preserving integrator; exact energies).
+        Incompatible with the splitting integrator.
     """
     fn = _normalize_log_prob(log_prob_fn)
     vag = jax.value_and_grad(fn)
+    gfn = _normalize_log_prob(grad_fn) if grad_fn is not None else None
     adapt = config.sampler == "hmc_nuts"
     windowed = False
     if config.adapt_mass and config.mass_schedule == "windowed":
@@ -243,6 +260,8 @@ def make_kernel(
     if config.integrator == "splitting":
         if shard_log_prob_fn is None or shard_data is None:
             raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
+        if gfn is not None:
+            raise ValueError("grad_fn is incompatible with the splitting integrator")
 
     def kernel(state: HMCState, key, iteration):
         key_mom, key_u, key_aux, key_jit = jax.random.split(key, 4)
@@ -251,7 +270,10 @@ def make_kernel(
         # --- frozen-coordinate refresh (first-class aux state) ---
         if aux_refresh is not None:
             aux = aux_refresh(key_aux, state.aux)
-            lp0, g0 = vag(state.position, aux)
+            if gfn is not None:
+                lp0, g0 = fn(state.position, aux), gfn(state.position, aux)
+            else:
+                lp0, g0 = vag(state.position, aux)
         else:
             aux = state.aux
             lp0, g0 = state.log_prob, state.grad
@@ -297,20 +319,42 @@ def make_kernel(
             # shapes stay static — but fixed-L resonances are broken)
             n_steps = jax.random.randint(key_jit, (), 1, config.num_leapfrog + 1)
 
-            def lf_step(carry, i):
-                q, p, g, lp = carry
-                p_half = p + 0.5 * eps * g
-                q_new = q + eps * (inv_mass_t * p_half)
-                lp_new, g_new = vag(q_new, aux)
-                p_new = p_half + 0.5 * eps * g_new
-                keep = i < n_steps
-                sel = lambda a, b: jnp.where(keep, a, b)
-                return (sel(q_new, q), sel(p_new, p), sel(g_new, g),
-                        sel(lp_new, lp)), None
+            if gfn is not None:
+                def lf_step(carry, i):
+                    q, p, g = carry
+                    p_half = p + 0.5 * eps * g
+                    q_new = q + eps * (inv_mass_t * p_half)
+                    g_new = gfn(q_new, aux)
+                    p_new = p_half + 0.5 * eps * g_new
+                    keep = i < n_steps
+                    sel = lambda a, b: jnp.where(keep, a, b)
+                    return (sel(q_new, q), sel(p_new, p), sel(g_new, g)), None
 
-            (q1, p1, g1, lp1), _ = jax.lax.scan(
-                lf_step, (state.position, p0, g0, lp0),
-                jnp.arange(config.num_leapfrog))
+                (q1, p1, g1), _ = jax.lax.scan(
+                    lf_step, (state.position, p0, g0),
+                    jnp.arange(config.num_leapfrog))
+                lp1 = fn(q1, aux)
+            else:
+                def lf_step(carry, i):
+                    q, p, g, lp = carry
+                    p_half = p + 0.5 * eps * g
+                    q_new = q + eps * (inv_mass_t * p_half)
+                    lp_new, g_new = vag(q_new, aux)
+                    p_new = p_half + 0.5 * eps * g_new
+                    keep = i < n_steps
+                    sel = lambda a, b: jnp.where(keep, a, b)
+                    return (sel(q_new, q), sel(p_new, p), sel(g_new, g),
+                            sel(lp_new, lp)), None
+
+                (q1, p1, g1, lp1), _ = jax.lax.scan(
+                    lf_step, (state.position, p0, g0, lp0),
+                    jnp.arange(config.num_leapfrog))
+        elif gfn is not None:
+            # gradient-only trajectory; one exact density eval at the endpoint
+            q1, p1, g1 = leapfrog_grad_only(lambda q: gfn(q, aux),
+                                            state.position, p0, g0, eps,
+                                            config.num_leapfrog, inv_mass_t)
+            lp1 = fn(q1, aux)
         else:
             q1, p1, lp1, g1 = leapfrog(lambda q: vag(q, aux), state.position, p0,
                                        g0, eps, config.num_leapfrog, inv_mass_t)
@@ -387,6 +431,7 @@ def sample(
     aux_refresh: Optional[Callable] = None,
     shard_log_prob_fn: Optional[Callable] = None,
     shard_data=None,
+    grad_fn: Optional[Callable] = None,
 ) -> SampleResult:
     """Draw ``config.num_samples`` HMC samples from ``log_prob_fn``.
 
@@ -395,9 +440,10 @@ def sample(
     """
     kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
                          aux_refresh=aux_refresh,
-                         shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data)
+                         shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data,
+                         grad_fn=grad_fn)
     state0 = init_state(log_prob_fn, init_position, config, aux=aux,
-                        inv_mass=inv_mass)
+                        inv_mass=inv_mass, grad_fn=grad_fn)
 
     keys = jax.random.split(key, config.num_samples)
     iters = jnp.arange(config.num_samples)

@@ -120,3 +120,26 @@ def make_subspace_log_prob(
         raise ValueError(f"unknown policy {policy}")
 
     return log_prob, aux0, refresh
+
+
+def make_subspace_grad(full_grad: Callable, spec: SubspaceSpec, prior=None):
+    """Subspace gradient from a full-flat-vector gradient oracle.
+
+    By the chain rule through the scatter,
+    ``d/dq full_term(scatter(frozen, q, idx)) = full_grad(full)[idx]``;
+    when ``prior`` (over the subvector) is given its gradient is added. Pairs
+    a cheap full-vector gradient (e.g. the Gram-form DeepONet gradient,
+    :mod:`vihmc_tpu.ops.gram_merge`) with :func:`make_subspace_log_prob`'s
+    exact density as the HMC kernel's ``grad_fn``.
+    """
+    idx = spec.idx_array
+    prior_grad = jax.grad(prior.log_prob) if prior is not None else None
+
+    def grad(q_sub, frozen):
+        full = scatter_subspace(frozen, q_sub, idx)
+        g = full_grad(full)[idx]
+        if prior_grad is not None:
+            g = g + prior_grad(q_sub)
+        return g
+
+    return grad

@@ -1,0 +1,106 @@
+"""Gram-trick gradients for the DeepONet merge + Gaussian NLL.
+
+The hot object in every operator-network sampler is
+
+    pred = bout @ tout.T + b          # (B, P): 1000 x 10201 at reference scale
+    ll   = -0.5 * sum(log var + (pred - y)^2 / var)
+
+whose parameter gradient is conventionally computed by materializing ``pred``
+(40 MB fp32/chain) plus its cotangent in the backward pass. Both are
+algebraically unnecessary: with residual cotangent r = (y - pred)/var,
+
+    d ll / d bout = r @ tout  = (y @ tout  - bout @ (tout.T tout) - b * sum_j tout_j) / var
+    d ll / d tout = r.T @ bout = (y.T @ bout - tout @ (bout.T bout) - b * sum_i bout_i) / var
+    d ll / d b    = sum(r)     = (sum(y) - (sum_i bout_i) . (sum_j tout_j) - B*P*b) / var
+
+— only K x K Gram matrices (K = latent width, 100) and two thin contractions
+against the constant data ``y`` ever exist. No (B, P) array is formed in the
+entire gradient evaluation, cutting both FLOPs and (especially) HBM traffic
+in the leapfrog hot loop.
+
+**Numerics caveat**: the subtraction ``y @ tout - bout @ Gt`` cancels to the
+residual scale, so the gradient carries a relative fp32 error of roughly
+(signal/residual) * 1e-7. That is harmless for HMC: the leapfrog integrator
+remains reversible and volume-preserving for ANY deterministic gradient field
+(the momentum update depends only on position), so Metropolis-Hastings with
+the EXACTLY-computed log-density stays unbiased — only the acceptance rate
+would degrade if gradients were badly wrong. The same expansion is NOT safe
+for the log-density itself (sum(m^2) = tr(Gb Gt) cancels catastrophically in
+the MH energy difference), so samplers must pair this gradient with the
+materialized/fused exact value at trajectory endpoints — the HMC kernel's
+``grad_fn`` path does exactly that.
+
+The reference computes this gradient by torch autograd through the
+materialized prediction (/root/reference/Operator_network/VI_HMC/
+main_VI_HMC_burgers.py:27-180 via hamiltorch's leapfrog); the Gram form is a
+TPU-side optimization with identical math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vihmc_tpu.core.ravel import ravel_pytree
+
+_GNLL_EPS = 1e-6  # torch.nn.functional.gaussian_nll_loss variance clamp
+
+
+def merge_nll_gram_cotangents(bout, tout, bias, y, tau):
+    """(d ll/d bout, d ll/d tout, d ll/d bias) without forming (B, P).
+
+    ``ll = -sum gaussian_nll_loss(bout @ tout.T + bias, y, var=tau)`` with the
+    torch variance clamp. ``y`` is (B, P); ``bout`` (B, K); ``tout`` (P, K).
+    """
+    var = max(float(tau), _GNLL_EPS)
+    f32 = jnp.float32
+    sum_t = jnp.sum(tout, axis=0)                       # (K,)
+    sum_b = jnp.sum(bout, axis=0)                       # (K,)
+    gram_t = jnp.dot(tout.T, tout, preferred_element_type=f32)   # (K, K)
+    gram_b = jnp.dot(bout.T, bout, preferred_element_type=f32)   # (K, K)
+    yt = jnp.dot(y, tout, preferred_element_type=f32)            # (B, K)
+    yb = jnp.dot(y.T, bout, preferred_element_type=f32)          # (P, K)
+    ct_bout = (yt - jnp.dot(bout, gram_t, preferred_element_type=f32)
+               - bias * sum_t) / var
+    ct_tout = (yb - jnp.dot(tout, gram_b, preferred_element_type=f32)
+               - bias * sum_b) / var
+    n = y.shape[0] * y.shape[1]
+    ct_bias = (jnp.sum(y) - jnp.dot(sum_b, sum_t) - n * bias) / var
+    return ct_bout, ct_tout, ct_bias
+
+
+def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
+                        key=None):
+    """d log-posterior / d flat for the shared-grid homoscedastic-NLL DeepONet.
+
+    Returns ``(grad_full, flat0, unravel)`` where ``grad_full(flat) -> (D,)``
+    equals ``jax.grad`` of the composed log-posterior (likelihood 'NLL' with
+    variance ``tau_var`` + optional ``prior``) up to the Gram-form fp32
+    rounding discussed in the module docstring. Pair with the exact
+    log-density as the HMC kernel's ``grad_fn``.
+    """
+    from vihmc_tpu.models.deeponet import deeponet_features, init_deeponet
+
+    if cfg.noise_neurons:
+        raise ValueError("Gram-form gradient covers the homoscedastic merge "
+                         "only (noise_neurons=0)")
+    if jnp.ndim(trunk_x) != 2:
+        raise ValueError("Gram-form gradient requires a shared query grid "
+                         "(trunk_x of shape (P, coords))")
+    key = jax.random.key(0) if key is None else key
+    flat0, unravel = ravel_pytree(init_deeponet(key, cfg))
+
+    def feats_flat(flat):
+        params = unravel(flat)
+        bout, tout = deeponet_features(cfg, params, branch_x, trunk_x)
+        return bout, tout, params["b"]
+
+    def grad_full(flat):
+        (bout, tout, bias), vjp = jax.vjp(feats_flat, flat)
+        cts = merge_nll_gram_cotangents(bout, tout, bias, y, tau_var)
+        (gflat,) = vjp(cts)
+        if prior is not None:
+            gflat = gflat + jax.grad(prior.log_prob)(flat)
+        return gflat
+
+    return grad_full, flat0, unravel
