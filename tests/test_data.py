@@ -120,3 +120,12 @@ def test_split_shards():
     assert sh["solution"].shape == (2, 2, 45)
     with pytest.raises(ValueError):
         split_shards(tr, 3)
+
+
+def test_generate_burgers_dataset_even_nx():
+    """nx even => odd periodic interior grid; irfft needs the explicit length
+    (regression: default irfft n assumes an even signal and dropped a point)."""
+    d = generate_burgers_dataset(jax.random.key(2), 2, nx=12, nt=7)
+    assert d["branch_in"].shape == (2, 12)
+    assert d["solution"].shape == (2, 7 * 12)
+    assert np.isfinite(np.asarray(d["solution"])).all()

@@ -65,7 +65,8 @@ def solve_burgers(u0, nu: float = 0.05, t_final: float = 1.0, nt_save: int = 101
     e_full = e_half * e_half
 
     def nonlinear(u_hat):
-        u = jnp.fft.irfft(u_hat * mask, axis=-1)
+        # explicit n: irfft defaults to 2*(coeffs-1), wrong for odd nx
+        u = jnp.fft.irfft(u_hat * mask, n=nx, axis=-1)
         return -1j * k * jnp.fft.rfft(0.5 * u * u, axis=-1) * mask
 
     def rk4_step(u_hat, _):
@@ -79,7 +80,7 @@ def solve_burgers(u0, nu: float = 0.05, t_final: float = 1.0, nt_save: int = 101
 
     def save_step(u_hat, _):
         u_hat, _ = jax.lax.scan(rk4_step, u_hat, None, length=steps_per_save)
-        return u_hat, jnp.fft.irfft(u_hat, axis=-1)
+        return u_hat, jnp.fft.irfft(u_hat, n=nx, axis=-1)
 
     u_hat0 = jnp.fft.rfft(u0, axis=-1)
     _, frames = jax.lax.scan(save_step, u_hat0, None, length=nt_save - 1)

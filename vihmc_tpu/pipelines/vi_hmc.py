@@ -147,7 +147,7 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
 def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                      eval_forward=None, y_eval=None, mesh=None,
                      store: Optional[RunStore] = None, subsample=None,
-                     full_ll=None):
+                     full_ll=None, full_grad=None):
     """Generic subspace-HMC driver shared by NN and operator pipelines.
 
     ``subsample``: optional dict {n_points, p, forward(flat, tidx), y_fn(tidx)}
@@ -155,10 +155,23 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     frozen vector as sampler state, both refreshed before each draw.
     ``full_ll``: optional fused likelihood override (see
     :func:`build_subspace_posterior`).
+    ``full_grad``: optional full-flat-vector likelihood-gradient oracle (e.g.
+    the Gram-form DeepONet gradient) used for leapfrog trajectories instead
+    of autodiff; the exact density still decides MH acceptance. Plain HMC
+    only; requires ``subsample=None``.
     """
     k_frozen, k_init, k_sample, k_sub = jax.random.split(key, 4)
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
         cfg, full_forward, y_train, artifacts, k_frozen, full_ll=full_ll)
+
+    grad_fn = None
+    if full_grad is not None:
+        if cfg.algorithm != "hmc" or subsample is not None:
+            raise ValueError("full_grad requires algorithm='hmc' and no "
+                             "query subsampling")
+        from vihmc_tpu.hmc import make_subspace_grad
+
+        grad_fn = make_subspace_grad(full_grad, spec, prior=prior)
 
     if subsample is not None:
         like = get_likelihood(cfg.loss)
@@ -234,7 +247,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             mass_schedule=cfg.mass_schedule,
                             store_aux_trace=cfg.save_vi_trace)
         res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
-                            aux=aux0, aux_refresh=refresh, mesh=mesh)
+                            aux=aux0, aux_refresh=refresh, mesh=mesh,
+                            grad_fn=grad_fn)
 
     out = {"result": res, "spec": spec, "prior": prior}
     if eval_forward is not None and y_eval is not None:
@@ -289,7 +303,8 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
 
 def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
                  data=None, mat_path=None, mesh=None,
-                 store: Optional[RunStore] = None, use_fused: bool = False):
+                 store: Optional[RunStore] = None, use_fused: bool = False,
+                 use_gram: Optional[bool] = None):
     """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py).
 
     With ``cfg.sample_data`` and ``cfg.p`` below the grid size, a random
@@ -297,6 +312,12 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
     inside each log-prob call, main_VI_HMC_burgers.py:131-138; here the index
     set is sampler state so shapes stay static under jit and the likelihood
     is fixed within each trajectory).
+
+    ``use_gram``: Gram-form trajectory gradients — no (B, P) prediction array
+    in the leapfrog hot loop (:mod:`vihmc_tpu.ops.gram_merge`); the exact
+    density still decides MH acceptance. ``None`` (default) auto-enables when
+    eligible: plain HMC, NLL loss, homoscedastic shared-grid merge, no query
+    subsampling.
     """
     key = jax.random.key(0) if key is None else key
     kd, ks = jax.random.split(key)
@@ -334,6 +355,18 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
             deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
             train_split["solution"], tau_var=cfg.tau_out, prior=None)
 
+    gram_eligible = (cfg.algorithm == "hmc" and cfg.loss == "NLL"
+                     and subsample is None
+                     and not deeponet_cfg.noise_neurons
+                     and train_split["trunk_in"].ndim == 2)
+    full_grad = None
+    if use_gram or (use_gram is None and gram_eligible):
+        from vihmc_tpu.ops.gram_merge import make_gram_grad_full
+
+        full_grad, _, _ = make_gram_grad_full(
+            deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
+            train_split["solution"], tau_var=cfg.tau_out)
+
     out = run_subspace_hmc(
         cfg,
         full_forward=lambda flat: apply_flat(flat, train_split["branch_in"],
@@ -348,6 +381,7 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         store=store,
         subsample=subsample,
         full_ll=full_ll,
+        full_grad=full_grad,
     )
     out["data"] = (train_split, valid_split)
     out["apply_flat"] = apply_flat
