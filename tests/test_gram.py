@@ -239,3 +239,29 @@ def test_gram_grad_fn_end_to_end_sampler():
     assert float(res.acceptance_rate) > 0.4
     # draws actually move (chain not stuck)
     assert float(np.std(np.asarray(res.samples[:, 10:, 0]))) > 0.0
+
+
+def test_jitter_low_frac_one_equals_fixed_length():
+    """jitter range [L, L] must reproduce the fixed-L trajectory exactly
+    (same drawn length every step; only rounding-identical ops differ)."""
+    lp, _ = _gauss_target()
+    cfg_fix = HMCConfig(num_samples=25, num_leapfrog=6, step_size=0.3)
+    cfg_jit = dataclasses.replace(cfg_fix, jitter_l=True, jitter_low_frac=1.0)
+    q0 = jnp.ones(4)
+    key = jax.random.key(13)
+    a = sample(lp, q0, key, cfg_fix)
+    b = sample(lp, q0, key, cfg_jit)
+    np.testing.assert_allclose(np.asarray(b.samples), np.asarray(a.samples),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_jitter_low_frac_bounds_lengths():
+    """With low_frac=0.5 the positions move every draw (length >= L/2 >= 1)
+    and sampling stays finite/correct on a Gaussian."""
+    lp, var = _gauss_target()
+    cfg = HMCConfig(num_samples=400, num_leapfrog=8, step_size=0.25,
+                    jitter_l=True, jitter_low_frac=0.5)
+    res = sample(lp, jnp.zeros(4), jax.random.key(5), cfg)
+    s = np.asarray(res.samples[100:])
+    assert np.isfinite(s).all()
+    np.testing.assert_allclose(s.var(axis=0), np.asarray(var), rtol=0.45)

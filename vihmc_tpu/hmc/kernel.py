@@ -60,9 +60,15 @@ class HMCConfig:
                                         # windows, each ending with a metric
                                         # update + dual-averaging restart
     jitter_l: bool = False              # per-draw uniform trajectory length in
-                                        # [1, num_leapfrog] (masked steps; same
-                                        # compute, kills resonance artifacts of
-                                        # the reference's fixed analytic L)
+                                        # [max(1, jitter_low_frac*L), L]
+                                        # (masked steps; same compute, kills
+                                        # resonance artifacts of the
+                                        # reference's fixed analytic L)
+    jitter_low_frac: float = 0.0        # lower bound of the jitter range as a
+                                        # fraction of num_leapfrog (0 -> [1,L],
+                                        # 0.5 -> [L/2,L]; keeps mean trajectory
+                                        # length high while still breaking
+                                        # resonances)
     store_aux_trace: bool = False       # record the per-draw aux state (e.g.
                                         # the frozen VI draw used at each
                                         # iteration — the reference's
@@ -314,10 +320,11 @@ def make_kernel(
                                     eps, config.num_leapfrog, inv_mass_t)
             lp1, g1 = vag(q1, aux)
         elif config.jitter_l:
-            # uniform random trajectory length in [1, L]: leapfrog steps past
+            # uniform random trajectory length in [low, L]: leapfrog steps past
             # the drawn length are masked out (no extra gradient evals saved —
             # shapes stay static — but fixed-L resonances are broken)
-            n_steps = jax.random.randint(key_jit, (), 1, config.num_leapfrog + 1)
+            low = max(1, int(round(config.jitter_low_frac * config.num_leapfrog)))
+            n_steps = jax.random.randint(key_jit, (), low, config.num_leapfrog + 1)
 
             if gfn is not None:
                 def lf_step(carry, i):
