@@ -32,10 +32,19 @@ from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
 from vihmc_tpu.ops import make_gram_grad_full
 
 
+# Measured (keys 2/3/4):
+#   A_jit_L31_b24 (jitter [1,L]): ESS 518/379/169, ESS/s 6.7/8.9/4.0 — mean
+#     trajectory halves, strictly worse than fixed L.
+#   B_jit_L63_b24: TPU worker crash (L=63 at 32 chains remains off-limits
+#     even on the gram path).
+# Round 2: Algorithm-4 init-step search so dual averaging starts at the
+# right scale instead of climbing 3 decades inside 24 burn draws.
 VARIANTS = (
-    ("A_jit_L31_b24", dict(num_samples=120, num_leapfrog=31, burn=24, jitter_l=True)),
-    ("B_jit_L63_b24", dict(num_samples=120, num_leapfrog=63, burn=24, jitter_l=True)),
-    ("C_fix_L31_b64", dict(num_samples=160, num_leapfrog=31, burn=64, jitter_l=False)),
+    ("G_search_L31", dict(num_samples=120, num_leapfrog=31, burn=24,
+                          init_step_search=True)),
+    ("H_search_jit.5", dict(num_samples=120, num_leapfrog=31, burn=24,
+                            init_step_search=True, jitter_l=True,
+                            jitter_low_frac=0.5)),
 )
 
 

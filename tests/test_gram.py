@@ -265,3 +265,31 @@ def test_jitter_low_frac_bounds_lengths():
     s = np.asarray(res.samples[100:])
     assert np.isfinite(s).all()
     np.testing.assert_allclose(s.var(axis=0), np.asarray(var), rtol=0.45)
+
+
+def test_init_step_search_recovers_from_bad_scale():
+    """With step_size 1000x too small, Algorithm-4 init anchors dual
+    averaging near the right scale so the frozen step actually mixes."""
+    lp, var = _gauss_target()
+    cfg = dict(num_samples=60, num_leapfrog=5, burn=30, sampler="hmc_nuts",
+               target_accept=0.65, step_size=1e-4)
+    key = jax.random.key(2)
+    q0 = jnp.zeros(4)
+    plain = sample(lp, q0, key, HMCConfig(**cfg))
+    searched = sample(lp, q0, key, HMCConfig(**cfg, init_step_search=True))
+    # adaptation starts at the searched scale, not the configured 1e-4
+    assert float(np.asarray(plain.step_sizes)[0]) < 1e-3
+    assert float(np.asarray(searched.step_sizes)[0]) > 1e-2
+    # the searched chain explores from the first draws
+    post = np.asarray(searched.samples)[30:]
+    assert post.std(axis=0).min() > 0.3
+    assert 0.4 < float(searched.acceptance_rate) <= 1.0
+
+
+def test_init_step_search_requires_key():
+    from vihmc_tpu.hmc.kernel import init_state
+
+    lp, _ = _gauss_target()
+    cfg = HMCConfig(sampler="hmc_nuts", init_step_search=True)
+    with pytest.raises(ValueError):
+        init_state(lp, jnp.zeros(4), cfg)

@@ -93,9 +93,11 @@ def sample_chains_resumable(
     # the flax struct / optax types survive the round trip)
     start_seg = 0
     collected = []
-    state = jax.vmap(lambda q: init_state(log_prob_fn, q, config, aux=aux,
-                                          inv_mass=inv_mass,
-                                          grad_fn=grad_fn))(init_positions)
+    state = jax.vmap(
+        lambda q, i: init_state(log_prob_fn, q, config, aux=aux,
+                                inv_mass=inv_mass, grad_fn=grad_fn,
+                                key=jax.random.fold_in(key, i))
+    )(init_positions, jnp.arange(n_chains, dtype=jnp.uint32) + jnp.uint32(0x1517))
     if checkpoint_dir is not None:
         step0 = latest_step(checkpoint_dir)
         if step0 is not None:

@@ -69,6 +69,15 @@ class HMCConfig:
                                         # 0.5 -> [L/2,L]; keeps mean trajectory
                                         # length high while still breaking
                                         # resonances)
+    init_step_search: bool = False      # Hoffman-Gelman Algorithm-4 search at
+                                        # init: double/halve config.step_size
+                                        # until one leapfrog step crosses 50%
+                                        # acceptance, then anchor dual
+                                        # averaging there. Removes the
+                                        # adaptation-variance of climbing to
+                                        # the right scale within burn when the
+                                        # configured step is orders of
+                                        # magnitude off ('hmc_nuts' only).
     store_aux_trace: bool = False       # record the per-draw aux state (e.g.
                                         # the frozen VI draw used at each
                                         # iteration — the reference's
@@ -201,7 +210,7 @@ def _normalize_log_prob(log_prob_fn):
 
 
 def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
-               inv_mass=1.0, grad_fn=None) -> HMCState:
+               inv_mass=1.0, grad_fn=None, key=None) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
     if grad_fn is not None:
         # state.grad must hold the SAME gradient field the trajectory uses
@@ -210,6 +219,15 @@ def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
         g = _normalize_log_prob(grad_fn)(position, aux)
     else:
         lp, g = jax.value_and_grad(fn)(position, aux)
+    step0 = config.step_size
+    if config.init_step_search and config.sampler == "hmc_nuts":
+        if key is None:
+            raise ValueError("init_step_search requires init_state(key=...)")
+        from vihmc_tpu.hmc.adaptation import find_reasonable_step_size
+
+        step0 = find_reasonable_step_size(
+            lambda qq: jax.value_and_grad(fn)(qq, aux), position, key,
+            init_step=config.step_size, inv_mass=inv_mass)
     welford = None
     if config.adapt_mass:
         welford = WelfordState(mean=jnp.zeros_like(position),
@@ -220,7 +238,7 @@ def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
         inv_mass_state = jnp.broadcast_to(
             jnp.asarray(inv_mass, position.dtype), position.shape)
     return HMCState(position=position, log_prob=lp, grad=g,
-                    da=da_init(config.step_size), aux=aux, welford=welford,
+                    da=da_init(step0), aux=aux, welford=welford,
                     inv_mass=inv_mass_state)
 
 
@@ -450,7 +468,8 @@ def sample(
                          shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data,
                          grad_fn=grad_fn)
     state0 = init_state(log_prob_fn, init_position, config, aux=aux,
-                        inv_mass=inv_mass, grad_fn=grad_fn)
+                        inv_mass=inv_mass, grad_fn=grad_fn,
+                        key=jax.random.fold_in(key, 0x1517))
 
     keys = jax.random.split(key, config.num_samples)
     iters = jnp.arange(config.num_samples)
