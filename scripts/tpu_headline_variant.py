@@ -1,0 +1,123 @@
+"""Measure ONE headline-bench variant per process (argv-selected).
+
+The TPU worker has crashed twice when a second large sampling graph was
+compiled+run in the same process (scripts/tpu_jitter_sweep.py logs), so each
+variant runs in its own process: `python scripts/tpu_headline_variant.py I`.
+
+Variants attack the two measured variance sources at the headline config
+(32 chains x 120 draws, 2048-dim VI-preconditioned subspace, gram gradients):
+
+  * dual-averaging from step 1e-4 must climb 3 decades inside 24 burn draws
+    -> start at the d^-1/4 ~ 0.15 scale instead (step_size=0.1);
+  * fixed L=31 resonance: near-identical frozen steps (0.084 vs 0.086) gave
+    ESS 199 vs 1511 -> jitter trajectory length over [L/2, L].
+
+  I  step0=0.1, hmc_nuts@0.55, fixed L=31
+  J  step0=0.1, hmc_nuts@0.55, L=31 jittered over [16, 31]
+  K  plain hmc, fixed step 0.12, L=31 jittered over [16, 31] (no DA at all)
+  L  as J, but the endpoint density uses the fused Pallas merge+NLL kernel —
+     with gram trajectory gradients NO (B, P) array exists anywhere in the
+     sampler (the composed endpoint eval was the last one)
+  M  as L at 64 chains (the (B,P)-free sampler may clear the HBM ceiling
+     that crashed 64-chain runs before)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bench
+from vihmc_tpu.chains import sample_chains, effective_sample_size_np
+from vihmc_tpu.dists.likelihoods import get_likelihood
+from vihmc_tpu.dists.priors import DiagonalGaussianPrior
+from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
+                           make_subspace_grad, make_subspace_log_prob)
+from vihmc_tpu.ops import make_gram_grad_full
+
+VARIANTS = {
+    "I": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.1,
+              sampler="hmc_nuts", target_accept=0.55),
+    "J": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.1,
+              sampler="hmc_nuts", target_accept=0.55,
+              jitter_l=True, jitter_low_frac=0.5),
+    "K": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+              sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "L": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.1,
+              sampler="hmc_nuts", target_accept=0.55,
+              jitter_l=True, jitter_low_frac=0.5),
+    "M": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.1,
+              sampler="hmc_nuts", target_accept=0.55,
+              jitter_l=True, jitter_low_frac=0.5),
+    # 360-draw finalists (segmented 120-draw dispatches; pooled ESS over 96
+    # retained draws is itself ~10x noisy across keys, so the headline must
+    # amortize over more draws):
+    "K360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.12,
+                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "N360": dict(num_samples=360, num_leapfrog=31, burn=48, step_size=0.1,
+                 sampler="hmc_nuts", target_accept=0.75, da_axis="chains",
+                 jitter_l=True, jitter_low_frac=0.5),
+}
+FUSED_VALUE = {"L", "M"}
+CHAIN_OVERRIDE = {"M": 64}
+SEGMENT = 120
+
+
+def main(name, keys=(2, 3, 4)):
+    kw = VARIANTS[name]
+    cfg, apply_flat, (bx, tx, y), mu, sigma, idx, n_chains, _ = \
+        bench.build_problem(False)
+    n_chains = CHAIN_OVERRIDE.get(name, n_chains)
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    if name in FUSED_VALUE:
+        from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
+
+        full_ll, _, _ = make_deeponet_nll_log_posterior(
+            cfg, bx, tx, y, tau_var=1.0, prior=None)
+    else:
+        def full_ll(flat):
+            return like(apply_flat(flat, bx, tx), y, 1.0)
+
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0)
+    gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
+    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    hmc_cfg = HMCConfig(**kw)
+
+    for k in keys:
+        t0 = time.perf_counter()
+        if hmc_cfg.num_samples > SEGMENT:
+            from vihmc_tpu.chains.resume import sample_chains_resumable
+
+            res = sample_chains_resumable(
+                log_prob, inits, jax.random.key(k), hmc_cfg,
+                segment_size=SEGMENT, inv_mass=spec.sub_sigma() ** 2,
+                aux=aux0, aux_refresh=refresh, grad_fn=gram_grad)
+        else:
+            res = sample_chains(log_prob, inits, jax.random.key(k), hmc_cfg,
+                                inv_mass=spec.sub_sigma() ** 2, aux=aux0,
+                                aux_refresh=refresh, grad_fn=gram_grad)
+        samples = np.asarray(res.samples)
+        dt = time.perf_counter() - t0
+        ess = float(np.median(
+            effective_sample_size_np(samples[:, hmc_cfg.burn:, :])))
+        print(f"{name}  key={k}  elapsed={dt:7.2f}s  "
+              f"final_step={float(np.asarray(res.step_sizes)[0, -1]):.3e}  "
+              f"accept={float(res.acceptance_rate):.3f}  "
+              f"ESS={ess:8.1f}  ESS/s={ess / dt:7.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "I")

@@ -293,3 +293,36 @@ def test_init_step_search_requires_key():
     cfg = HMCConfig(sampler="hmc_nuts", init_step_search=True)
     with pytest.raises(ValueError):
         init_state(lp, jnp.zeros(4), cfg)
+
+
+def test_da_axis_couples_chain_step_adaptation():
+    """da_axis='chains': all chains share one pmean-coupled adapted step."""
+    lp, var = _gauss_target()
+    cfg = HMCConfig(num_samples=40, num_leapfrog=5, step_size=0.05, burn=20,
+                    sampler="hmc_nuts", target_accept=0.7, da_axis="chains")
+    q0 = jnp.zeros((4, 4))
+    res = sample_chains(lp, q0, jax.random.key(1), cfg)
+    steps = np.asarray(res.step_sizes)  # (C, S)
+    # identical trace across chains
+    np.testing.assert_allclose(steps, np.broadcast_to(steps[:1], steps.shape),
+                               rtol=1e-6)
+    # and it actually adapted away from the init
+    assert abs(float(steps[0, -1]) / 0.05 - 1.0) > 0.1
+    # uncoupled control: chains end at different steps
+    res_u = sample_chains(lp, q0, jax.random.key(1),
+                          dataclasses.replace(cfg, da_axis=None))
+    steps_u = np.asarray(res_u.step_sizes)
+    assert np.std(steps_u[:, -1]) > 0.0
+
+
+def test_da_axis_resumable_matches_single_dispatch():
+    lp, _ = _gauss_target()
+    cfg = HMCConfig(num_samples=24, num_leapfrog=5, step_size=0.1, burn=12,
+                    sampler="hmc_nuts", target_accept=0.7, da_axis="chains")
+    q0 = jnp.zeros((3, 4))
+    res = sample_chains_resumable(lp, q0, jax.random.key(4), cfg,
+                                  segment_size=8)
+    steps = np.asarray(res.step_sizes)
+    np.testing.assert_allclose(steps, np.broadcast_to(steps[:1], steps.shape),
+                               rtol=1e-6)
+    assert np.isfinite(np.asarray(res.samples)).all()

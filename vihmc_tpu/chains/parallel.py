@@ -66,7 +66,8 @@ def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
                       aux_refresh=aux_refresh, shard_log_prob_fn=shard_log_prob_fn,
                       shard_data=shard_data, grad_fn=grad_fn)
 
-    vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None, None))
+    vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None, None),
+                       axis_name="chains")
     if mesh is None:
         return jax.jit(vmapped)
 

@@ -52,7 +52,8 @@ def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
             iters = start + jnp.arange(segment_size)
             return jax.lax.scan(step, chain_state, (keys, iters))
 
-        return jax.vmap(one_chain)(state, jnp.arange(n_chains))
+        return jax.vmap(one_chain, axis_name="chains")(state,
+                                                       jnp.arange(n_chains))
 
     return jax.jit(run_segment)
 

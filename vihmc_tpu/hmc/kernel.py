@@ -69,6 +69,14 @@ class HMCConfig:
                                         # 0.5 -> [L/2,L]; keeps mean trajectory
                                         # length high while still breaking
                                         # resonances)
+    da_axis: Optional[str] = None       # couple dual averaging across a vmap/
+                                        # mesh axis of this name: the accept
+                                        # statistic is pmean'd over chains so
+                                        # all chains share ONE low-noise
+                                        # adapted step (32 chains -> 32x less
+                                        # freeze variance). Requires running
+                                        # under vmap(axis_name=da_axis) — the
+                                        # multi-chain APIs use 'chains'.
     init_step_search: bool = False      # Hoffman-Gelman Algorithm-4 search at
                                         # init: double/halve config.step_size
                                         # until one leapfrog step crosses 50%
@@ -415,7 +423,10 @@ def make_kernel(
 
         # --- dual averaging (burn phase only; restart at metric updates) ---
         if adapt:
-            da_new = da_update(state.da, accept_prob, config.target_accept)
+            accept_stat = accept_prob
+            if config.da_axis is not None:
+                accept_stat = jax.lax.pmean(accept_prob, config.da_axis)
+            da_new = da_update(state.da, accept_stat, config.target_accept)
             da = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(in_burn, new, old), da_new, state.da
             )
