@@ -61,6 +61,12 @@ VARIANTS = {
     "N360": dict(num_samples=360, num_leapfrog=31, burn=48, step_size=0.1,
                  sampler="hmc_nuts", target_accept=0.75, da_axis="chains",
                  jitter_l=True, jitter_low_frac=0.5),
+    # P: the stuck-chain fix — K360/N360 diagnostics show refresh-policy
+    # chains trapped in far tails (acceptance 0.000 for 312 draws) under ANY
+    # frozen step; per-chain continuous (diminishing) adaptation self-heals:
+    "P360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.1,
+                 sampler="hmc_nuts", target_accept=0.75, adapt_forever=True,
+                 max_step=0.25, jitter_l=True, jitter_low_frac=0.5),
 }
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64}

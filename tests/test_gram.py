@@ -326,3 +326,51 @@ def test_da_axis_resumable_matches_single_dispatch():
     np.testing.assert_allclose(steps, np.broadcast_to(steps[:1], steps.shape),
                                rtol=1e-6)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_max_step_clamps_adaptation():
+    lp, _ = _gauss_target()
+    cfg = HMCConfig(num_samples=40, num_leapfrog=5, step_size=0.05, burn=20,
+                    sampler="hmc_nuts", target_accept=0.7, max_step=0.08)
+    res = sample(lp, jnp.zeros(4), jax.random.key(1), cfg)
+    assert float(np.max(np.asarray(res.step_sizes))) <= 0.08 + 1e-7
+
+
+def test_refresh_during_burn_off_holds_aux():
+    def lp(q, aux):
+        return -0.5 * jnp.sum((q - aux) ** 2)
+
+    def refresh(key, aux):
+        return jax.random.normal(key, aux.shape)
+
+    cfg = HMCConfig(num_samples=20, num_leapfrog=3, step_size=0.5, burn=10,
+                    refresh_during_burn=False, store_aux_trace=True)
+    res = sample(lp, jnp.zeros(3), jax.random.key(0), cfg, aux=jnp.ones(3),
+                 aux_refresh=refresh)
+    trace = np.asarray(res.aux_trace)  # (S, 3)
+    # frozen at the initial aux through burn, refreshed after
+    np.testing.assert_allclose(trace[:10], 1.0)
+    assert np.std(trace[10:]) > 0.1
+
+
+def test_adapt_forever_rescues_mis_scaled_step():
+    """A frozen step 50x too large rejects ~everything; continuous
+    (diminishing) adaptation self-heals and the chain mixes."""
+    var = jnp.asarray([1e-4] * 4, jnp.float32)
+
+    def lp(q):
+        return -0.5 * jnp.sum(q * q / var)
+
+    # burn=4: the frozen average has no time to leave the bad scale
+    base = dict(num_samples=300, num_leapfrog=8, step_size=0.5, burn=4,
+                sampler="hmc_nuts", target_accept=0.7)
+    frozen = sample(lp, jnp.full(4, 0.05), jax.random.key(0), HMCConfig(**base))
+    healed = sample(lp, jnp.full(4, 0.05), jax.random.key(0),
+                    HMCConfig(**base, adapt_forever=True))
+    acc_f = float(np.mean(np.asarray(frozen.accepted)[100:]))
+    acc_h = float(np.mean(np.asarray(healed.accepted)[100:]))
+    assert acc_f < 0.2          # trapped at the frozen scale
+    assert acc_h > 0.5          # recovered
+    # healed chain reaches the target's scale
+    post = np.asarray(healed.samples)[150:]
+    assert np.abs(post.std(axis=0) / 1e-2 - 1.0).max() < 1.0

@@ -69,6 +69,27 @@ class HMCConfig:
                                         # 0.5 -> [L/2,L]; keeps mean trajectory
                                         # length high while still breaking
                                         # resonances)
+    adapt_forever: bool = False         # continue dual averaging past burn
+                                        # using the adapting iterate
+                                        # (diminishing adaptation: the t^-1/2
+                                        # DA decay preserves ergodicity).
+                                        # Self-heals chains trapped in far
+                                        # tails where the frozen step rejects
+                                        # everything — their own acceptance
+                                        # collapse drives the step down until
+                                        # they escape ('hmc_nuts' only).
+    max_step: Optional[float] = None    # clamp the step size actually used
+                                        # (adapting iterate AND frozen
+                                        # average). Dual averaging's early
+                                        # exploration can overshoot by 10-20x
+                                        # for a few draws — measured on-chip
+                                        # flinging chains into far tails they
+                                        # never recover from under the
+                                        # refresh policy.
+    refresh_during_burn: bool = True    # False: hold the frozen aux fixed
+                                        # until burn ends (chains equilibrate
+                                        # against one conditional, then the
+                                        # per-draw refresh turns on)
     da_axis: Optional[str] = None       # couple dual averaging across a vmap/
                                         # mesh axis of this name: the accept
                                         # statistic is pmean'd over chains so
@@ -302,6 +323,9 @@ def make_kernel(
         # --- frozen-coordinate refresh (first-class aux state) ---
         if aux_refresh is not None:
             aux = aux_refresh(key_aux, state.aux)
+            if not config.refresh_during_burn:
+                aux = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_burn, old, new), aux, state.aux)
             if gfn is not None:
                 lp0, g0 = fn(state.position, aux), gfn(state.position, aux)
             else:
@@ -310,9 +334,16 @@ def make_kernel(
             aux = state.aux
             lp0, g0 = state.log_prob, state.grad
 
-        # --- step size: adapting iterate during burn, averaged after ---
+        # --- step size: adapting iterate during burn, averaged after
+        # (adapt_forever: adapting iterate throughout) ---
         if adapt:
-            eps = jnp.where(in_burn, jnp.exp(state.da.log_step), jnp.exp(state.da.log_step_avg))
+            if config.adapt_forever:
+                eps = jnp.exp(state.da.log_step)
+            else:
+                eps = jnp.where(in_burn, jnp.exp(state.da.log_step),
+                                jnp.exp(state.da.log_step_avg))
+            if config.max_step is not None:
+                eps = jnp.minimum(eps, config.max_step)
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
 
@@ -427,9 +458,12 @@ def make_kernel(
             if config.da_axis is not None:
                 accept_stat = jax.lax.pmean(accept_prob, config.da_axis)
             da_new = da_update(state.da, accept_stat, config.target_accept)
-            da = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(in_burn, new, old), da_new, state.da
-            )
+            if config.adapt_forever:
+                da = da_new
+            else:
+                da = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(in_burn, new, old), da_new,
+                    state.da)
             if is_win_end is not None:
                 da = jax.tree_util.tree_map(
                     lambda r, c: jnp.where(is_win_end, r, c), da_restart(da), da)
