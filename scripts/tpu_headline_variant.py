@@ -67,7 +67,30 @@ VARIANTS = {
     "P360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.1,
                  sampler="hmc_nuts", target_accept=0.75, adapt_forever=True,
                  max_step=0.25, jitter_l=True, jitter_low_frac=0.5),
+    # Measured: P360 FAILS — continuous DA chases the refresh-noise in the
+    # accept statistic (sqrt(t)/gamma gain) and collapses chain steps to
+    # 1e-4..2e-6; ESS ~23. adapt_forever is not fit for noisy targets.
+    # Q: drop the moving target instead. FrozenPolicy.DRAW (one VI draw for
+    # the whole run — what the reference's hamiltorch call actually did: the
+    # resample hook is only triggered by an extra arg hamiltorch never
+    # passes, SURVEY.md 2.4) + coupled DA + max_step + jitter + per-chain
+    # VI-draw (overdispersed) inits.
+    "Q": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.1,
+              sampler="hmc_nuts", target_accept=0.65, da_axis="chains",
+              max_step=0.25, jitter_l=True, jitter_low_frac=0.5),
+    "Q360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.1,
+                 sampler="hmc_nuts", target_accept=0.65, da_axis="chains",
+                 max_step=0.25, jitter_l=True, jitter_low_frac=0.5),
+    # R: Q + chain-pooled windowed mass adaptation (metric_axis: 32x data
+    # per window makes 2048 marginal variances estimable inside burn=120) —
+    # fixes the preconditioner misfit that pins Q's coupled step at ~0.03.
+    "R360": dict(num_samples=360, num_leapfrog=31, burn=120, step_size=0.1,
+                 sampler="hmc_nuts", target_accept=0.65, da_axis="chains",
+                 metric_axis="chains", adapt_mass=True,
+                 mass_schedule="windowed", max_step=0.25,
+                 jitter_l=True, jitter_low_frac=0.5),
 }
+DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64}
 SEGMENT = 120
@@ -91,15 +114,25 @@ def main(name, keys=(2, 3, 4)):
         def full_ll(flat):
             return like(apply_flat(flat, bx, tx), y, 1.0)
 
+    policy = (FrozenPolicy.DRAW if name in DRAW_POLICY
+              else FrozenPolicy.REFRESH)
     lp_like, aux0, refresh = make_subspace_log_prob(
-        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+        full_ll, spec, policy, init_key=jax.random.key(0))
 
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
     grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0)
     gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
-    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    if name in DRAW_POLICY:
+        # overdispersed chain inits: one VI-posterior draw per chain (the
+        # reference's init_prior+sample_prior mode) — honest pooled ESS
+        from vihmc_tpu.hmc.subspace import draw_full
+
+        keys_i = jax.random.split(jax.random.key(7), n_chains)
+        inits = jax.vmap(lambda kk: draw_full(kk, spec)[spec.idx_array])(keys_i)
+    else:
+        inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     hmc_cfg = HMCConfig(**kw)
 
     for k in keys:

@@ -374,3 +374,28 @@ def test_adapt_forever_rescues_mis_scaled_step():
     # healed chain reaches the target's scale
     post = np.asarray(healed.samples)[150:]
     assert np.abs(post.std(axis=0) / 1e-2 - 1.0).max() < 1.0
+
+
+def test_metric_axis_pools_welford_across_chains():
+    """Pooled windowed metric: all chains share one variance estimate that
+    approaches the target variances; per-chain metric stays noisy."""
+    var = jnp.asarray([0.25, 1.0, 4.0, 9.0], jnp.float32)
+
+    def lp(q):
+        return -0.5 * jnp.sum(q * q / var)
+
+    cfg = HMCConfig(num_samples=260, num_leapfrog=8, step_size=0.3, burn=200,
+                    sampler="hmc_nuts", target_accept=0.8, adapt_mass=True,
+                    mass_schedule="windowed", da_axis="chains",
+                    metric_axis="chains")
+    q0 = jax.random.normal(jax.random.key(0), (8, 4))
+    res = sample_chains(lp, q0, jax.random.key(1), cfg)
+    inv = np.asarray(res.final_state.inv_mass)  # (C, D)
+    # identical across chains (pooled estimate)
+    np.testing.assert_allclose(inv, np.broadcast_to(inv[:1], inv.shape),
+                               rtol=1e-5)
+    # close to the true marginal variances (pooled over 8 chains)
+    ratio = inv[0] / np.asarray(var)
+    assert ratio.max() < 3.0 and ratio.min() > 1 / 3.0
+    # post-burn sampling healthy under the pooled metric
+    assert float(np.mean(np.asarray(res.accepted)[:, 200:])) > 0.5

@@ -98,6 +98,14 @@ class HMCConfig:
                                         # freeze variance). Requires running
                                         # under vmap(axis_name=da_axis) — the
                                         # multi-chain APIs use 'chains'.
+    metric_axis: Optional[str] = None   # pool the Welford mass-matrix
+                                        # estimate across the chain axis
+                                        # (within+between-chain variance, C
+                                        # times the data per adaptation
+                                        # window — 2048 marginal variances
+                                        # become estimable in tens of draws).
+                                        # Same axis-name requirement as
+                                        # da_axis.
     init_step_search: bool = False      # Hoffman-Gelman Algorithm-4 search at
                                         # init: double/halve config.step_size
                                         # until one leapfrog step crosses 50%
@@ -196,15 +204,37 @@ class SampleResult:
         return jnp.sum(self.divergent.astype(jnp.int32))
 
 
+def pooled_variance(welford: "WelfordState", axis: Optional[str]):
+    """Welford variance, optionally pooled across a named chain axis.
+
+    Pooling combines within-chain sums of squares with the between-chain
+    mean dispersion (the exact grouped-variance identity), giving C times
+    the effective sample count per adaptation window — the TPU-native way to
+    estimate thousands of marginal variances within tens of draws. Returns
+    ``(variance, effective_count)``.
+    """
+    if axis is None:
+        return welford.variance, welford.count
+    n = welford.count
+    c = jax.lax.psum(jnp.ones(()), axis)
+    mean_p = jax.lax.pmean(welford.mean, axis)
+    m2_p = jax.lax.pmean(welford.m2, axis)          # mean per-chain SS
+    between = jax.lax.pmean((welford.mean - mean_p) ** 2, axis)
+    n_tot = c * n
+    ss = c * (m2_p + n * between)
+    return ss / jnp.maximum(n_tot - 1.0, 1.0), n_tot
+
+
 def windowed_metric_update(welford, position, iteration, win_start, win_ends,
-                           base_inv_mass, carried_inv_mass):
+                           base_inv_mass, carried_inv_mass, metric_axis=None):
     """One windowed-warmup bookkeeping step (shared by HMC and NUTS kernels).
 
     Accumulates ``position`` into the Welford state inside the window region;
     at the last draw of each window, replaces the carried diagonal inverse
     mass with the shrunk variance estimate (shrinkage toward
     ``base_inv_mass`` — e.g. the VI-posterior variances — rather than Stan's
-    fixed 1e-3*I) and resets the accumulator.
+    fixed 1e-3*I) and resets the accumulator. With ``metric_axis`` the
+    variance pools across the chain axis (see :func:`pooled_variance`).
 
     Returns ``(welford, inv_mass, is_window_end)``.
     """
@@ -213,9 +243,9 @@ def windowed_metric_update(welford, position, iteration, win_start, win_ends,
     new_w = welford.update(position)
     welford = jax.tree_util.tree_map(
         lambda a, b: jnp.where(in_window, a, b), new_w, welford)
-    n = welford.count
+    var, n = pooled_variance(welford, metric_axis)
     base = base_inv_mass * jnp.ones_like(position)
-    var_hat = (n / (n + 5.0)) * welford.variance + (5.0 / (n + 5.0)) * base
+    var_hat = (n / (n + 5.0)) * var + (5.0 / (n + 5.0)) * base
     inv_mass = jnp.where(is_win_end, var_hat, carried_inv_mass)
     welford = jax.tree_util.tree_map(
         lambda a: jnp.where(is_win_end, jnp.zeros_like(a), a), welford)
@@ -354,9 +384,8 @@ def make_kernel(
             inv_mass_t = state.inv_mass
         elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
-            n = state.welford.count
-            var_hat = (n / (n + 5.0)) * state.welford.variance \
-                + 1e-3 * (5.0 / (n + 5.0))
+            var, n = pooled_variance(state.welford, config.metric_axis)
+            var_hat = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
             base = inv_mass * jnp.ones_like(state.position)
             inv_mass_t = jnp.where(iteration >= switch, var_hat, base)
         else:
@@ -442,7 +471,7 @@ def make_kernel(
         if windowed:
             welford, inv_mass_state, is_win_end = windowed_metric_update(
                 state.welford, position, iteration, win_start, win_ends,
-                inv_mass, state.inv_mass)
+                inv_mass, state.inv_mass, metric_axis=config.metric_axis)
         elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(position)
