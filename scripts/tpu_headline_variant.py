@@ -89,8 +89,17 @@ VARIANTS = {
                  metric_axis="chains", adapt_mass=True,
                  mass_schedule="windowed", max_step=0.25,
                  jitter_l=True, jitter_low_frac=0.5),
+    # S: the stuck-chain cure that keeps the fast config. K + norm-clipped
+    # trajectory gradients (preconditioned clip 600; healthy scale measured
+    # 77-364, the trapped chain sat at 9261): trapped chains drift home and
+    # re-accept, MH stays exact (deterministic modified proposal field).
+    "S": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+              sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "S360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.12,
+                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
+CLIP_GRAD = {"S": 600.0, "S360": 600.0}  # preconditioned-norm clip
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64}
 SEGMENT = 120
@@ -124,6 +133,11 @@ def main(name, keys=(2, 3, 4)):
 
     grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0)
     gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
+    if name in CLIP_GRAD:
+        from vihmc_tpu.hmc import clipped_grad_fn
+
+        gram_grad = clipped_grad_fn(gram_grad, CLIP_GRAD[name],
+                                    inv_mass=spec.sub_sigma() ** 2)
     if name in DRAW_POLICY:
         # overdispersed chain inits: one VI-posterior draw per chain (the
         # reference's init_prior+sample_prior mode) — honest pooled ESS

@@ -399,3 +399,42 @@ def test_metric_axis_pools_welford_across_chains():
     assert ratio.max() < 3.0 and ratio.min() > 1 / 3.0
     # post-burn sampling healthy under the pooled metric
     assert float(np.mean(np.asarray(res.accepted)[:, 200:])) > 0.5
+
+
+def test_clipped_grad_escapes_tail_trap():
+    """A chain started deep in a quartic tail (curvature grows with
+    distance) rejects everything under the raw gradient — the first kick
+    explodes; the clipped field walks it home and sampling proceeds. MH
+    stays exact: post-equilibration moments match the target."""
+    from vihmc_tpu.hmc import clipped_grad_fn
+
+    def lp(q):
+        return -0.25 * jnp.sum(q ** 4)
+
+    cfg = HMCConfig(num_samples=500, num_leapfrog=10, step_size=0.4)
+    q0 = jnp.full(4, 8.0)
+    raw = sample(lp, q0, jax.random.key(0), cfg)
+    acc_raw = float(np.mean(np.asarray(raw.accepted)))
+    clipped = sample(lp, q0, jax.random.key(0), cfg,
+                     grad_fn=clipped_grad_fn(lp, max_norm=10.0, is_grad=False))
+    post = np.asarray(clipped.samples)[300:]
+    assert acc_raw < 0.05                      # trapped under the raw field
+    assert float(np.mean(np.asarray(clipped.accepted)[300:])) > 0.3
+    # p(q) ~ exp(-q^4/4): sd = sqrt(2 Gamma(3/4)/Gamma(1/4)) ~ 0.82
+    np.testing.assert_allclose(post.std(axis=0), 0.82, rtol=0.4)
+    np.testing.assert_allclose(post.mean(axis=0), 0.0, atol=0.5)
+
+
+def test_clipped_grad_inactive_in_equilibrium():
+    """With a generous max_norm the clipped path reproduces the raw path
+    draw-for-draw (clip never binds)."""
+    from vihmc_tpu.hmc import clipped_grad_fn
+
+    lp, _ = _gauss_target()
+    cfg = HMCConfig(num_samples=30, num_leapfrog=5, step_size=0.3)
+    q0 = jnp.ones(4)
+    a = sample(lp, q0, jax.random.key(3), cfg)
+    b = sample(lp, q0, jax.random.key(3), cfg,
+               grad_fn=clipped_grad_fn(lp, max_norm=1e6, is_grad=False))
+    np.testing.assert_allclose(np.asarray(b.samples), np.asarray(a.samples),
+                               rtol=1e-5, atol=1e-6)

@@ -1,4 +1,5 @@
 from vihmc_tpu.hmc.kernel import (
+    clipped_grad_fn,
     HMCConfig,
     HMCState,
     SampleResult,
@@ -28,6 +29,7 @@ def predict_model(*args, **kwargs):
     return _pm(*args, **kwargs)
 
 __all__ = [
+    "clipped_grad_fn",
     "HMCConfig",
     "HMCState",
     "SampleResult",

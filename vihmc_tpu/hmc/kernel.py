@@ -301,6 +301,36 @@ def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
                     inv_mass=inv_mass_state)
 
 
+def clipped_grad_fn(base, max_norm: float, inv_mass=1.0, is_grad: bool = True):
+    """Norm-clip a gradient field for use as the kernel's ``grad_fn``.
+
+    ``base`` is a gradient oracle with the kernel's ``(q[, aux])`` signature
+    (``is_grad=True``) or a log-prob function to autodiff (``is_grad=False``).
+    The returned field equals the gradient wherever the preconditioned norm
+    ``sqrt(sum(inv_mass * g^2))`` is below ``max_norm`` and is rescaled to
+    that norm beyond. The clipped field is deterministic, so leapfrog
+    trajectories remain reversible and volume-preserving and MH acceptance
+    (on the exact density) stays unbiased — only proposals change.
+
+    Purpose: escape hatch for chains trapped in far tails. Measured at the
+    headline config a trapped chain sits at preconditioned |g| ~ 120x the
+    healthy scale (~1.7 sqrt(d)), so every trajectory explodes and rejects
+    indefinitely; under the clipped field trajectories drift back toward
+    the typical set and get accepted. Pick ``max_norm`` ~ 10x sqrt(d) so
+    the clip never binds in equilibrium.
+    """
+    raw = _normalize_log_prob(base)
+    if not is_grad:
+        raw = jax.grad(raw)
+
+    def gfn(q, aux=None):
+        g = raw(q, aux)
+        norm = jnp.sqrt(jnp.sum(inv_mass * g * g))
+        return g * jnp.minimum(1.0, max_norm / (norm + 1e-30))
+
+    return gfn
+
+
 def make_kernel(
     log_prob_fn: Callable,
     config: HMCConfig,
