@@ -438,3 +438,31 @@ def test_clipped_grad_inactive_in_equilibrium():
                grad_fn=clipped_grad_fn(lp, max_norm=1e6, is_grad=False))
     np.testing.assert_allclose(np.asarray(b.samples), np.asarray(a.samples),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_clip_and_jitter_options():
+    """VIHMCRunConfig.clip_grad / jitter_l flow through run_operator."""
+    import dataclasses as dc
+
+    from vihmc_tpu.data.burgers import get_burgers
+    from vihmc_tpu.pipelines import vi_hmc
+    from vihmc_tpu.pipelines.configs import VIHMCRunConfig
+
+    dcfg = dataclasses.replace(SMALL, in_branch=12)
+    train, valid = get_burgers(jax.random.key(0), 6, 6, None, nx=12, nt=9)
+    apply_flat, flat0, _ = make_flat_deeponet(dcfg)
+    rng = np.random.default_rng(0)
+    d = flat0.shape[0]
+    arts = {"mu": jnp.asarray(0.05 * rng.normal(size=d), jnp.float32),
+            "sigma": jnp.asarray(0.01 + 0.02 * rng.random(d), jnp.float32),
+            "indices": np.sort(rng.choice(d, size=24, replace=False))}
+    cfg = VIHMCRunConfig(num_samples=20, num_chains=2, step_size=1e-3,
+                         num_leapfrog=4, jitter_l=True, jitter_low_frac=0.5,
+                         clip_grad=13.0 * 24 ** 0.5, vi_mass=True)
+    out = vi_hmc.run_operator(cfg, dcfg, arts, key=jax.random.key(1),
+                              data=(train, valid))
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
+    # clip_grad is rejected off the plain-HMC algorithm
+    with pytest.raises(ValueError):
+        vi_hmc.run_operator(dc.replace(cfg, algorithm="nuts"), dcfg, arts,
+                            key=jax.random.key(1), data=(train, valid))

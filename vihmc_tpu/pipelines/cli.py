@@ -80,6 +80,13 @@ def build_parser():
                         "trajectory length")
     p.add_argument("--save-vi-trace", action="store_true",
                    help="persist the per-draw frozen VI draw ('vi_params')")
+    p.add_argument("--jitter-l", action="store_true",
+                   help="jitter the trajectory length over [L/2, L] "
+                        "(breaks fixed-L resonances)")
+    p.add_argument("--clip-grad", type=float, default=None,
+                   help="preconditioned grad-norm clip on the trajectory "
+                        "field (~13*sqrt(subspace dim); frees tail-trapped "
+                        "chains, MH stays exact)")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
@@ -190,7 +197,10 @@ def main(argv=None):
         cfg = _override(C.VIHMCRunConfig(), num_samples=args.num_samples,
                         num_chains=args.num_chains, frozen_policy=args.policy,
                         algorithm=args.algorithm,
-                        save_vi_trace=(True if args.save_vi_trace else None))
+                        save_vi_trace=(True if args.save_vi_trace else None),
+                        jitter_l=(True if args.jitter_l else None),
+                        jitter_low_frac=(0.5 if args.jitter_l else None),
+                        clip_grad=args.clip_grad)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
                                 key=key, store=store)

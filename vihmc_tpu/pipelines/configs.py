@@ -120,6 +120,16 @@ class VIHMCRunConfig:
     nuts_max_depth: int = 6
     chees_max_steps: int = 256       # leapfrog cap per draw for 'chees'
     num_leapfrog: Optional[int] = None  # explicit L (default: analytic rule)
+    jitter_l: bool = False           # per-draw trajectory length ~ U[low, L]
+    jitter_low_frac: float = 0.0     # low = max(1, frac*L); 0.5 recommended
+                                     # (breaks fixed-L resonances — see
+                                     # docs/performance.md)
+    clip_grad: Optional[float] = None  # preconditioned grad-norm clip on the
+                                     # TRAJECTORY field (MH stays exact);
+                                     # frees chains trapped in far tails
+                                     # under the refresh policy. ~13*sqrt(d)
+                                     # recommended; plain HMC only
+    max_step: Optional[float] = None  # clamp the adapted step actually used
 
     @property
     def L(self) -> int:

@@ -200,6 +200,18 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                 "tidx": jax.random.choice(k_sub, n_points, shape=(p,),
                                           replace=False)}
 
+    if cfg.clip_grad is not None:
+        # after any subsample rebinding so the clip wraps the final target
+        if cfg.algorithm != "hmc":
+            raise ValueError("clip_grad is supported for algorithm='hmc' only")
+        from vihmc_tpu.hmc import clipped_grad_fn
+
+        if grad_fn is not None:
+            grad_fn = clipped_grad_fn(grad_fn, cfg.clip_grad, inv_mass=inv_mass)
+        else:
+            grad_fn = clipped_grad_fn(log_prob, cfg.clip_grad,
+                                      inv_mass=inv_mass, is_grad=False)
+
     inits = chain_inits(cfg, spec, k_init)
     if cfg.algorithm != "hmc" and cfg.save_vi_trace:
         raise ValueError("save_vi_trace is supported for algorithm='hmc' "
@@ -245,7 +257,10 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             target_accept=cfg.target_accept,
                             adapt_mass=cfg.adapt_mass,
                             mass_schedule=cfg.mass_schedule,
-                            store_aux_trace=cfg.save_vi_trace)
+                            store_aux_trace=cfg.save_vi_trace,
+                            jitter_l=cfg.jitter_l,
+                            jitter_low_frac=cfg.jitter_low_frac,
+                            max_step=cfg.max_step)
         res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
                             aux=aux0, aux_refresh=refresh, mesh=mesh,
                             grad_fn=grad_fn)
