@@ -79,14 +79,17 @@ def main():
 
     # --- stage 3: VI-HMC over the subspace ---
     t0 = time.time()
-    # tuned trajectory from the on-chip sweep (docs/performance.md): L=31 @
-    # 0.55 target mixes ~15x better in ESS/s than the analytic L=7 rule
+    # L=31 from the on-chip sweep; trajectory jitter + preconditioned
+    # gradient clip from the ESS-variance investigation (docs/performance.md)
+    # — the previous demo's R-hat 4.8 / ESS 20 came from tail-trapped chains
+    clip = 13.0 * sens["num_sensitive"] ** 0.5
     hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=1e-4,
                                post_std=0.0214, num_chains=chains,
-                               num_leapfrog=31, target_accept=0.55,
+                               num_leapfrog=31, target_accept=0.65,
                                loss="NLL", tau_out=1.0,
                                frozen_policy="refresh", vi_mass=True,
-                               adapt_step_size=True)
+                               adapt_step_size=True, jitter_l=True,
+                               jitter_low_frac=0.5, clip_grad=clip)
     artifacts = {"mu": sens["mu"], "sigma": sens["sigma"],
                  "indices": sens["indices"]}
     out = vi_hmc.run_operator(hmc_cfg, model, artifacts, key=key, data=data,
