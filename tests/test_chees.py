@@ -152,3 +152,21 @@ def test_chees_aux_refresh_per_chain():
     # per-chain frozen states diverge after refresh
     final_aux = np.asarray(res.final_state.aux)
     assert not np.allclose(final_aux[0], final_aux[1])
+
+
+def test_chees_grad_fn_matches_autodiff_path():
+    """grad_fn = grad(lp) reproduces the autodiff ChEES run draw-for-draw."""
+    import numpy as np
+
+    var = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+
+    def lp(q):
+        return -0.5 * jnp.sum(q * q / var)
+
+    cfg = ChEESConfig(num_samples=40, step_size=0.2, init_traj_length=1.0,
+                      burn=20, max_steps=32)
+    q0 = jax.random.normal(jax.random.key(0), (4, 3))
+    base = chees_sample(lp, q0, jax.random.key(1), cfg)
+    got = chees_sample(lp, q0, jax.random.key(1), cfg, grad_fn=jax.grad(lp))
+    np.testing.assert_allclose(np.asarray(got.samples),
+                               np.asarray(base.samples), rtol=1e-5, atol=1e-6)

@@ -142,12 +142,13 @@ def sample_chains_nuts(log_prob_fn, init_positions, key, config, inv_mass=1.0,
 
 
 @functools.lru_cache(maxsize=64)
-def _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
+def _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
+                               grad_fn=None):
     from vihmc_tpu.hmc.chees import chees_sample
 
     def run(key, inits, inv_mass, aux):
         return chees_sample(log_prob_fn, inits, key, config, inv_mass=inv_mass,
-                            aux=aux, aux_refresh=aux_refresh)
+                            aux=aux, aux_refresh=aux_refresh, grad_fn=grad_fn)
 
     if mesh is None:
         return jax.jit(run)
@@ -160,7 +161,7 @@ def _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
 
 
 def sample_chains_chees(log_prob_fn, init_positions, key, config, inv_mass=1.0,
-                        aux=None, aux_refresh=None, mesh=None):
+                        aux=None, aux_refresh=None, mesh=None, grad_fn=None):
     """Multi-chain ChEES-HMC. Unlike :func:`sample_chains`, the chains are
     *coupled* (cross-chain adaptation), so the chain axis lives inside one
     computation: chains shard over the 'chains' mesh axis and the ChEES/
@@ -174,5 +175,6 @@ def sample_chains_chees(log_prob_fn, init_positions, key, config, inv_mass=1.0,
     if aux is not None:
         aux = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a[None], (n_chains,) + a.shape), aux)
-    fn = _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh)
+    fn = _build_chees_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
+                                    grad_fn)
     return fn(key, init_positions, inv_mass, aux)

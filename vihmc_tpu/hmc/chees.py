@@ -88,6 +88,7 @@ def chees_sample(
     inv_mass=1.0,
     aux=None,                      # per-chain pytree with leading axis C, or None
     aux_refresh: Optional[Callable] = None,
+    grad_fn: Optional[Callable] = None,
 ) -> SampleResult:
     """Run C coupled chains with ChEES adaptation. One compiled scan.
 
@@ -99,10 +100,20 @@ def chees_sample(
     fn = _normalize_log_prob(log_prob_fn)
     vag_one = jax.value_and_grad(fn)
     vag = jax.vmap(vag_one)
+    gfn_one = _normalize_log_prob(grad_fn) if grad_fn is not None else None
     n_chains, dim = init_positions.shape
     inv_mass = jnp.broadcast_to(jnp.asarray(inv_mass, jnp.float32), (dim,))
 
+    def _vmap_a(f, q, a):
+        if a is None:
+            return jax.vmap(lambda qq: f(qq, None))(q)
+        return jax.vmap(f)(q, a)
+
     def _vag(q, a):
+        # gradient oracle: cheap grads along trajectories, exact density at
+        # the evaluation points (same contract as the HMC kernel's grad_fn)
+        if gfn_one is not None:
+            return _vmap_a(fn, q, a), _vmap_a(gfn_one, q, a)
         if a is None:
             return jax.vmap(lambda qq: vag_one(qq, None))(q)
         return vag(q, a)
@@ -142,16 +153,29 @@ def chees_sample(
         p0 = jax.random.normal(k_mom, state.positions.shape) / jnp.sqrt(inv_mass)
         ke0 = 0.5 * jnp.sum(inv_mass * p0 * p0, axis=-1)
 
-        def lf_body(_t, carry):
-            q, p, g, _lp = carry
-            p_half = p + 0.5 * eps * g
-            q_new = q + eps * (inv_mass * p_half)
-            lp_new, g_new = _vag(q_new, aux_t)
-            p_new = p_half + 0.5 * eps * g_new
-            return (q_new, p_new, g_new, lp_new)
+        if gfn_one is not None:
+            def lf_body(_t, carry):
+                q, p, g = carry
+                p_half = p + 0.5 * eps * g
+                q_new = q + eps * (inv_mass * p_half)
+                g_new = _vmap_a(gfn_one, q_new, aux_t)
+                p_new = p_half + 0.5 * eps * g_new
+                return (q_new, p_new, g_new)
 
-        q1, p1, g1, lp1 = jax.lax.fori_loop(
-            0, n_steps, lf_body, (state.positions, p0, g0, lp0))
+            q1, p1, g1 = jax.lax.fori_loop(
+                0, n_steps, lf_body, (state.positions, p0, g0))
+            lp1 = _vmap_a(fn, q1, aux_t)
+        else:
+            def lf_body(_t, carry):
+                q, p, g, _lp = carry
+                p_half = p + 0.5 * eps * g
+                q_new = q + eps * (inv_mass * p_half)
+                lp_new, g_new = _vag(q_new, aux_t)
+                p_new = p_half + 0.5 * eps * g_new
+                return (q_new, p_new, g_new, lp_new)
+
+            q1, p1, g1, lp1 = jax.lax.fori_loop(
+                0, n_steps, lf_body, (state.positions, p0, g0, lp0))
         ke1 = 0.5 * jnp.sum(inv_mass * p1 * p1, axis=-1)
 
         # --- per-chain MH ---

@@ -166,9 +166,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     grad_fn = None
     if full_grad is not None:
-        if cfg.algorithm != "hmc" or subsample is not None:
-            raise ValueError("full_grad requires algorithm='hmc' and no "
-                             "query subsampling")
+        if cfg.algorithm not in ("hmc", "chees") or subsample is not None:
+            raise ValueError("full_grad requires algorithm='hmc' or 'chees' "
+                             "and no query subsampling")
         from vihmc_tpu.hmc import make_subspace_grad
 
         grad_fn = make_subspace_grad(full_grad, spec, prior=prior)
@@ -202,8 +202,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     if cfg.clip_grad is not None:
         # after any subsample rebinding so the clip wraps the final target
-        if cfg.algorithm != "hmc":
-            raise ValueError("clip_grad is supported for algorithm='hmc' only")
+        if cfg.algorithm not in ("hmc", "chees"):
+            raise ValueError("clip_grad requires algorithm='hmc' or 'chees'")
         from vihmc_tpu.hmc import clipped_grad_fn
 
         if grad_fn is not None:
@@ -235,7 +235,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                 target_accept=min(cfg.target_accept, 0.651))
         res = sample_chains_chees(log_prob, inits, k_sample, chees_cfg,
                                   inv_mass=inv_mass, aux=aux0,
-                                  aux_refresh=refresh, mesh=mesh)
+                                  aux_refresh=refresh, mesh=mesh,
+                                  grad_fn=grad_fn)
     elif cfg.algorithm == "nuts":
         from vihmc_tpu.hmc.nuts import NUTSConfig
         from vihmc_tpu.chains import sample_chains_nuts
