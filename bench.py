@@ -299,37 +299,51 @@ def bench_nn(quick: bool):
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
-    # 120 draws matches the operator bench methodology; measured on-chip the
-    # pooled ESS saturates near 16 by ~100 draws (refresh-policy noise floor),
-    # so longer runs only add wall clock
+    # 120 draws matches the operator bench methodology. Same robustness
+    # recipe as the operator headline: [L/2, L] trajectory jitter, clipped
+    # trajectory gradients (tail-trap escape), median over three keys.
     n_chains, n_samples, L = (4, 20, 8) if quick else (32, 120, 196)
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=5e-4,
                     burn=n_samples // 5, sampler="hmc_nuts",
-                    target_accept=0.65)
+                    target_accept=0.65, jitter_l=True,
+                    jitter_low_frac=BENCH_JITTER_LOW)
+    from vihmc_tpu.hmc import clipped_grad_fn
+
+    grad_fn = clipped_grad_fn(log_prob, 13.0 * len(idx) ** 0.5,
+                              inv_mass=spec.sub_sigma() ** 2, is_grad=False)
 
     def run(key):
         return sample_chains(log_prob, inits, key, cfg,
                              inv_mass=spec.sub_sigma() ** 2,
-                             aux=aux0, aux_refresh=refresh)
+                             aux=aux0, aux_refresh=refresh, grad_fn=grad_fn)
 
     res = run(jax.random.key(1))
     np.asarray(res.samples)
-    t0 = time.perf_counter()
-    res = run(jax.random.key(2))
-    samples = np.asarray(res.samples)
-    elapsed = time.perf_counter() - t0
-    ess = effective_sample_size_np(samples[:, n_samples // 5:, :])
-    return {
-        "elapsed_s": elapsed,
-        "samples_per_s": n_chains * n_samples / elapsed,
-        "ess_median": float(np.median(ess)),
-        "ess_per_s": float(np.median(ess)) / elapsed,
-        "acceptance": float(res.acceptance_rate),
-        "subspace_dim": samples.shape[-1],
+    per_key = []
+    for k in ((2,) if quick else BENCH_KEYS):
+        t0 = time.perf_counter()
+        res = run(jax.random.key(k))
+        samples = np.asarray(res.samples)
+        elapsed = time.perf_counter() - t0
+        ess = effective_sample_size_np(samples[:, n_samples // 5:, :])
+        per_key.append({
+            "key": k,
+            "elapsed_s": elapsed,
+            "samples_per_s": n_chains * n_samples / elapsed,
+            "ess_median": float(np.median(ess)),
+            "ess_per_s": float(np.median(ess)) / elapsed,
+            "acceptance": float(res.acceptance_rate),
+        })
+    per_key.sort(key=lambda s: s["ess_per_s"])
+    stats = dict(per_key[len(per_key) // 2])
+    stats.update({
+        "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
-    }
+        "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
+    })
+    return stats
 
 
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
