@@ -123,3 +123,20 @@ def test_nuts_step_size_adaptation_targets_accept():
     assert 0.55 < post_accept <= 1.0
     eps = np.asarray(res.step_sizes)
     assert np.allclose(eps[401:], eps[401])  # frozen after burn
+
+
+def test_nuts_da_axis_couples_chains():
+    import numpy as np
+    from vihmc_tpu.chains import sample_chains_nuts
+
+    var = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    lp = lambda q: -0.5 * jnp.sum(q * q / var)
+    cfg = NUTSConfig(num_samples=30, max_depth=3, step_size=0.05, burn=15,
+                     target_accept=0.8, da_axis="chains", max_step=1.5)
+    q0 = jnp.zeros((4, 3))
+    res = sample_chains_nuts(lp, q0, jax.random.key(0), cfg)
+    steps = np.asarray(res.step_sizes)
+    np.testing.assert_allclose(steps, np.broadcast_to(steps[:1], steps.shape),
+                               rtol=1e-6)
+    assert steps.max() <= 1.5 + 1e-6
+    assert np.isfinite(np.asarray(res.samples)).all()

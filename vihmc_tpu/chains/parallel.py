@@ -120,7 +120,8 @@ def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
         return nuts_sample(log_prob_fn, q0, k, config, inv_mass=inv_mass,
                            aux=aux, aux_refresh=aux_refresh)
 
-    vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None))
+    vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None),
+                       axis_name="chains")
     if mesh is None:
         return jax.jit(vmapped)
     chain_sharding = NamedSharding(mesh, P("chains"))

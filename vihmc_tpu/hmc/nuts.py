@@ -56,6 +56,12 @@ class NUTSConfig:
     target_accept: float = 0.8
     adapt_mass: bool = False           # Welford diagonal mass (as in hmc kernel)
     mass_schedule: str = "half"        # 'half' | 'windowed' (as in hmc kernel)
+    max_step: object = None            # clamp the step actually used (as in
+                                       # hmc kernel; Optional[float])
+    da_axis: object = None             # pmean the accept statistic over this
+                                       # chain axis (as in hmc kernel)
+    metric_axis: object = None         # pool the Welford metric across the
+                                       # chain axis (as in hmc kernel)
 
 
 @struct.dataclass
@@ -195,6 +201,8 @@ def nuts_sample(
         if config.adapt_step_size:
             eps = jnp.where(in_burn, jnp.exp(state.da.log_step),
                             jnp.exp(state.da.log_step_avg))
+            if config.max_step is not None:
+                eps = jnp.minimum(eps, config.max_step)
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
 
@@ -281,7 +289,7 @@ def nuts_sample(
         if windowed:
             welford, inv_mass_state, is_win_end = windowed_metric_update(
                 state.welford, traj.q_prop, iteration, win_start, win_ends,
-                inv_mass, state.inv_mass)
+                inv_mass, state.inv_mass, metric_axis=config.metric_axis)
         elif config.adapt_mass:
             switch = max(config.burn // 2, 1)
             new_w = state.welford.update(traj.q_prop)
@@ -292,6 +300,8 @@ def nuts_sample(
             welford = state.welford
 
         if config.adapt_step_size:
+            if config.da_axis is not None:
+                accept_stat = jax.lax.pmean(accept_stat, config.da_axis)
             da_new = da_update(state.da, accept_stat, config.target_accept)
             da = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(in_burn, new, old), da_new, state.da)
