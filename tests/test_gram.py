@@ -466,3 +466,21 @@ def test_pipeline_clip_and_jitter_options():
     with pytest.raises(ValueError):
         vi_hmc.run_operator(dc.replace(cfg, algorithm="nuts"), dcfg, arts,
                             key=jax.random.key(1), data=(train, valid))
+
+
+def test_hmc_nuts_pipeline_gram_parity():
+    """Full-parameter NUTS-DeepONet pipeline: auto-Gram vs autodiff agree."""
+    from vihmc_tpu.data.burgers import get_burgers
+    from vihmc_tpu.pipelines import hmc_nuts
+    from vihmc_tpu.pipelines.configs import OperatorHMCRunConfig
+
+    dcfg = dataclasses.replace(SMALL, in_branch=12)
+    data = get_burgers(jax.random.key(0), 6, 6, None, nx=12, nt=9)
+    # L = int(pi*post_var/(2*step)) = 3 at these settings (analytic rule)
+    cfg = OperatorHMCRunConfig(model=dcfg, num_samples=10, step_size=2e-4,
+                               n_train=6, n_valid=6)
+    a = hmc_nuts.run(cfg, key=jax.random.key(1), data=data, use_gram=True)
+    b = hmc_nuts.run(cfg, key=jax.random.key(1), data=data, use_gram=False)
+    np.testing.assert_allclose(float(a["metrics"]["expected_mse_of_mean"]),
+                               float(b["metrics"]["expected_mse_of_mean"]),
+                               rtol=1e-4)

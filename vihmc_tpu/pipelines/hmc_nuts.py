@@ -56,7 +56,13 @@ def score_on_validation(cfg, apply_flat, prior, valid_split, samples, burn):
 
 def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
         mat_path=None, num_chains: int = 1, mesh=None,
-        store: Optional[RunStore] = None, use_fused: bool = False):
+        store: Optional[RunStore] = None, use_fused: bool = False,
+        use_gram: Optional[bool] = None):
+    """``use_gram``: Gram-form trajectory gradients for the full 172k-dim
+    parameter vector (no (B, P) array per leapfrog step —
+    :mod:`vihmc_tpu.ops.gram_merge`); auto-enabled when eligible (NLL,
+    shared grid, no subsampling, no noise head). The exact density still
+    decides MH acceptance."""
     key = jax.random.key(0) if key is None else key
     kd, ki, ks, kt = jax.random.split(key, 4)
     if data is None:
@@ -102,13 +108,27 @@ def run(cfg: OperatorHMCRunConfig = OperatorHMCRunConfig(), key=None, data=None,
 
         refresh, aux0 = None, None
 
+    gram_eligible = (cfg.loss == "NLL" and not subsample
+                     and not cfg.model.noise_neurons
+                     and train_split["trunk_in"].ndim == 2)
+    grad_fn = None
+    if use_gram or (use_gram is None and gram_eligible):
+        from vihmc_tpu.ops.gram_merge import make_gram_grad_full
+
+        grad_full, _, _ = make_gram_grad_full(
+            cfg.model, train_split["branch_in"], train_split["trunk_in"],
+            train_split["solution"], tau_var=cfg.tau_out, prior=prior)
+
+        def grad_fn(flat):
+            return grad_full(flat)
+
     inits = jax.vmap(lambda k: 0.1 * jax.random.normal(k, flat0.shape))(
         jax.random.split(ki, num_chains))
     hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
                         step_size=cfg.step_size, burn=cfg.burn,
                         sampler="hmc_nuts", target_accept=cfg.target_accept)
     res = sample_chains(log_prob, inits, ks, hmc_cfg, aux=aux0,
-                        aux_refresh=refresh, mesh=mesh)
+                        aux_refresh=refresh, mesh=mesh, grad_fn=grad_fn)
 
     metrics, preds, log_probs = score_on_validation(
         cfg, apply_flat, prior, valid_split, res.samples, cfg.burn)
