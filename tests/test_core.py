@@ -67,3 +67,37 @@ def test_scatter_is_jittable_with_static_idx():
 
     out = f(jnp.zeros(4), jnp.array([5.0, 6.0]))
     np.testing.assert_allclose(np.asarray(out), [5.0, 0.0, 6.0, 0.0])
+
+
+def test_has_nan_or_inf_and_logprob_error():
+    from vihmc_tpu.core import LogProbError, has_nan_or_inf
+
+    assert not has_nan_or_inf({"a": jnp.ones(3), "b": 2.0})
+    assert has_nan_or_inf(jnp.array([1.0, jnp.nan]))
+    assert has_nan_or_inf({"a": jnp.ones(2), "b": jnp.array(jnp.inf)})
+    assert has_nan_or_inf(float("-inf"))
+    assert issubclass(LogProbError, RuntimeError)
+
+
+def test_dense_calculus_helpers():
+    from vihmc_tpu.core import gradient, hessian, jacobian
+
+    # scalar quadratic over a pytree: grad/hessian known in closed form
+    def f(tree):
+        return jnp.sum(tree["x"] ** 2) + 3.0 * jnp.sum(tree["y"])
+
+    tree = {"x": jnp.array([1.0, 2.0]), "y": jnp.array([[1.0], [4.0]])}
+    flat = np.r_[np.asarray(tree["x"]), np.asarray(tree["y"]).ravel()]
+    g = np.asarray(gradient(f, tree))
+    np.testing.assert_allclose(g, np.r_[2.0 * flat[:2], 3.0, 3.0])
+    h = np.asarray(hessian(f, tree))
+    np.testing.assert_allclose(h, np.diag([2.0, 2.0, 0.0, 0.0]))
+
+    # vector output -> dense (O, D) jacobian
+    def vf(tree):
+        return {"out": tree["x"] * tree["y"].ravel()}
+
+    j = np.asarray(jacobian(vf, tree))
+    assert j.shape == (2, 4)
+    np.testing.assert_allclose(j[0], [flat[2], 0.0, flat[0], 0.0])
+    np.testing.assert_allclose(j[1], [0.0, flat[3], 0.0, flat[1]])

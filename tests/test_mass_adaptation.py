@@ -44,6 +44,34 @@ def test_jittered_trajectory_length():
     assert float(res.acceptance_rate) > 0.7
 
 
+def test_jittered_step_size():
+    """jitter_eps samples correctly (moments), varies the per-draw step
+    within [low*eps, eps], and is rejected alongside jitter_l."""
+    def lp(q):
+        return -0.5 * jnp.sum(q * q)
+
+    cfg = HMCConfig(num_samples=3000, num_leapfrog=8, step_size=0.35,
+                    jitter_eps=True, jitter_low_frac=0.5)
+    res = jax.jit(lambda k: sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(2))
+    post = np.asarray(res.samples[500:])
+    np.testing.assert_allclose(post.mean(0), 0.0, atol=0.12)
+    np.testing.assert_allclose(post.std(0), 1.0, atol=0.12)
+    # shrunken steps only -> acceptance at least as good as fixed-step
+    assert float(res.acceptance_rate) > 0.7
+    steps = np.asarray(res.step_sizes)
+    assert steps.min() >= 0.35 * 0.5 - 1e-6
+    assert steps.max() <= 0.35 + 1e-6
+    assert steps.std() > 0.01  # actually jittering
+
+    import dataclasses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sample(lp, jnp.zeros(2),  jax.random.key(0),
+               dataclasses.replace(cfg, jitter_l=True))
+
+
 def test_mass_window_schedule_static_shape():
     from vihmc_tpu.hmc.kernel import mass_window_schedule
 

@@ -8,6 +8,13 @@ from vihmc_tpu.core.ravel import (
 )
 from vihmc_tpu.core.prng import split_like, fold_in_str
 from vihmc_tpu.core.precision import matmul_precision
+from vihmc_tpu.core.calculus import (
+    LogProbError,
+    has_nan_or_inf,
+    gradient,
+    jacobian,
+    hessian,
+)
 
 __all__ = [
     "ravel_pytree",
@@ -19,4 +26,9 @@ __all__ = [
     "split_like",
     "fold_in_str",
     "matmul_precision",
+    "LogProbError",
+    "has_nan_or_inf",
+    "gradient",
+    "jacobian",
+    "hessian",
 ]

@@ -69,6 +69,19 @@ class HMCConfig:
                                         # 0.5 -> [L/2,L]; keeps mean trajectory
                                         # length high while still breaking
                                         # resonances)
+    jitter_eps: bool = False            # per-draw continuous step-size
+                                        # multiplier u ~ U[jitter_low_frac, 1]
+                                        # applied to the WHOLE trajectory:
+                                        # the same trajectory-time
+                                        # distribution (and resonance
+                                        # breaking) as jitter_l, but all
+                                        # num_leapfrog gradient evals
+                                        # contribute — masked-L jitter
+                                        # computes L evals and discards the
+                                        # tail past the drawn length — and
+                                        # the shrunken steps integrate more
+                                        # accurately, so acceptance rises.
+                                        # Mutually exclusive with jitter_l.
     adapt_forever: bool = False         # continue dual averaging past burn
                                         # using the adapting iterate
                                         # (diminishing adaptation: the t^-1/2
@@ -375,6 +388,8 @@ def make_kernel(
             raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
         if gfn is not None:
             raise ValueError("grad_fn is incompatible with the splitting integrator")
+    if config.jitter_l and config.jitter_eps:
+        raise ValueError("jitter_l and jitter_eps are mutually exclusive")
 
     def kernel(state: HMCState, key, iteration):
         key_mom, key_u, key_aux, key_jit = jax.random.split(key, 4)
@@ -406,6 +421,10 @@ def make_kernel(
                 eps = jnp.minimum(eps, config.max_step)
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
+        if config.jitter_eps:
+            low = min(max(config.jitter_low_frac,
+                          1.0 / max(config.num_leapfrog, 1)), 1.0)
+            eps = eps * jax.random.uniform(key_jit, (), minval=low, maxval=1.0)
 
         # --- mass matrix: fixed; carried metric updated at window boundaries
         # (windowed); or Welford-estimated posterior variances after the

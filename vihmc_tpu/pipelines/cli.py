@@ -83,6 +83,9 @@ def build_parser():
     p.add_argument("--jitter-l", action="store_true",
                    help="jitter the trajectory length over [L/2, L] "
                         "(breaks fixed-L resonances)")
+    p.add_argument("--jitter-eps", action="store_true",
+                   help="jitter the step size over [eps/2, eps] instead "
+                        "(same resonance-breaking, no masked leapfrog tail)")
     p.add_argument("--clip-grad", type=float, default=None,
                    help="preconditioned grad-norm clip on the trajectory "
                         "field (~13*sqrt(subspace dim); frees tail-trapped "
@@ -199,7 +202,9 @@ def main(argv=None):
                         algorithm=args.algorithm,
                         save_vi_trace=(True if args.save_vi_trace else None),
                         jitter_l=(True if args.jitter_l else None),
-                        jitter_low_frac=(0.5 if args.jitter_l else None),
+                        jitter_eps=(True if args.jitter_eps else None),
+                        jitter_low_frac=(0.5 if (args.jitter_l or args.jitter_eps)
+                                         else None),
                         clip_grad=args.clip_grad)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,

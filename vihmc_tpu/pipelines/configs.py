@@ -124,6 +124,11 @@ class VIHMCRunConfig:
     jitter_low_frac: float = 0.0     # low = max(1, frac*L); 0.5 recommended
                                      # (breaks fixed-L resonances — see
                                      # docs/performance.md)
+    jitter_eps: bool = False         # per-draw step-size multiplier
+                                     # ~ U[jitter_low_frac, 1] instead:
+                                     # same resonance-breaking, but every
+                                     # leapfrog step contributes (no masked
+                                     # tail) — see docs/performance.md
     clip_grad: Optional[float] = None  # preconditioned grad-norm clip on the
                                      # TRAJECTORY field (MH stays exact);
                                      # frees chains trapped in far tails

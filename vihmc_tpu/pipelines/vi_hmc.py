@@ -260,6 +260,7 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             mass_schedule=cfg.mass_schedule,
                             store_aux_trace=cfg.save_vi_trace,
                             jitter_l=cfg.jitter_l,
+                            jitter_eps=cfg.jitter_eps,
                             jitter_low_frac=cfg.jitter_low_frac,
                             max_step=cfg.max_step)
         res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
