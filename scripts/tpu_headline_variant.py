@@ -97,11 +97,19 @@ VARIANTS = {
               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "S360": dict(num_samples=360, num_leapfrog=31, burn=24, step_size=0.12,
                  sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # S48: the final headline config at 48 chains. Wall clock measured FLAT
+    # from 16 -> 32 chains (chip not saturated), 64 crashed the worker;
+    # 48 was the untested midpoint. MEASURED: 48 chains ALSO crashes the
+    # TPU worker at reference scale (UNAVAILABLE: worker crashed, same
+    # signature as 64) — 32 chains is the confirmed per-chip ceiling on
+    # this backend.
+    "S48": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
-CLIP_GRAD = {"S": 600.0, "S360": 600.0}  # preconditioned-norm clip
+CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0}  # preconditioned-norm clip
 FUSED_VALUE = {"L", "M"}
-CHAIN_OVERRIDE = {"M": 64}
+CHAIN_OVERRIDE = {"M": 64, "S48": 48}
 SEGMENT = 120
 
 

@@ -440,6 +440,31 @@ def test_clipped_grad_inactive_in_equilibrium():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_clipped_grad_always_binding_stays_exact():
+    """Statistical exactness under an ALWAYS-binding clip: with max_norm
+    far below the typical gradient norm the proposal field is wrong
+    everywhere, yet MH on the exact density must still target N(0, I).
+    This is the guarantee the headline bench configuration rests on."""
+    from vihmc_tpu.hmc import clipped_grad_fn
+
+    d = 3
+
+    def lp(q):
+        return -0.5 * jnp.sum(q ** 2)
+
+    # typical |grad| = |q| ~ sqrt(3) ~ 1.7; clip at 0.3 binds ~always
+    cfg = HMCConfig(num_samples=1500, num_leapfrog=8, step_size=0.35,
+                    jitter_l=True, jitter_low_frac=0.5)
+    inits = jnp.linspace(-2.0, 2.0, 8)[:, None] * jnp.ones((8, d))
+    res = sample_chains(lp, inits, jax.random.key(5), cfg,
+                        grad_fn=clipped_grad_fn(lp, max_norm=0.3,
+                                                is_grad=False))
+    post = np.asarray(res.samples)[:, 500:, :].reshape(-1, d)
+    assert float(np.mean(np.asarray(res.accepted)[:, 500:])) > 0.2
+    np.testing.assert_allclose(post.mean(axis=0), 0.0, atol=0.12)
+    np.testing.assert_allclose(post.var(axis=0), 1.0, rtol=0.12)
+
+
 def test_pipeline_clip_and_jitter_options():
     """VIHMCRunConfig.clip_grad / jitter_l flow through run_operator."""
     import dataclasses as dc

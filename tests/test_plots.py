@@ -12,6 +12,7 @@ from vihmc_tpu.pipelines.postprocess import (
     plot_sensitivity_histogram,
     plot_captured_variance,
     plot_sensitivity_layers,
+    plot_error_sigma_correlation,
     animate_solution,
 )
 
@@ -50,6 +51,18 @@ def test_sensitivity_plots(tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_plot_error_sigma_correlation(tmp_path):
+    rng = np.random.default_rng(4)
+    nt, nx, n_fn, n_samps = 6, 8, 3, 10
+    truth = rng.normal(size=(n_fn, nt * nx))
+    preds = truth[None] + 0.1 * rng.normal(size=(n_samps, n_fn, nt * nx))
+    paths = plot_error_sigma_correlation(preds, truth, nt=nt, nx=nx,
+                                         path_prefix=str(tmp_path / "corr"))
+    import os
+
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
 
 
 def test_animate_solution(tmp_path):

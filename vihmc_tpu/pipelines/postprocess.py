@@ -184,6 +184,38 @@ def plot_captured_variance(scores, path: str = "captured_variance.pdf"):
     return path
 
 
+def plot_error_sigma_correlation(preds, truth, nt: int, nx: int,
+                                 path_prefix: str = "correlation",
+                                 scatter_times: tuple = (0.25, 0.5, 0.75, 1.0)):
+    """Error-vs-sigma scatter panels at selected time slices plus the
+    per-time correlation-coefficient curve (the figures the reference's
+    ``plot_correlation`` emits, post_process_burgers.py:151-215; the
+    numbers come from :func:`error_sigma_correlation`)."""
+    plt = _plt()
+    stats = error_sigma_correlation(preds, truth, nt, nx)
+    sigma, abs_err, corrs = stats["sigma"], stats["abs_error"], stats["per_time_correlation"]
+
+    t_idx = [min(nt - 1, int(round(f * (nt - 1)))) for f in scatter_times]
+    fig, axes = plt.subplots(1, len(t_idx), figsize=(4 * len(t_idx), 4),
+                             sharey=True)
+    for ax, t in zip(np.atleast_1d(axes), t_idx):
+        ax.plot(sigma[:, t, :].ravel(), abs_err[:, t, :].ravel(), ".", ms=2,
+                alpha=0.3)
+        ax.set_title(f"t = {t / max(nt - 1, 1):.2f}  (r = {corrs[t]:+.2f})")
+        ax.set_xlabel("predictive σ"); ax.grid(True)
+    np.atleast_1d(axes)[0].set_ylabel("|error|")
+    scatter_path = f"{path_prefix}_scatter.pdf"
+    fig.tight_layout(); fig.savefig(scatter_path, dpi=150); plt.close(fig)
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(np.linspace(0, 1, nt), corrs, linewidth=2)
+    ax.axhline(0.0, color="k", linewidth=0.8)
+    ax.set_xlabel("t"); ax.set_ylabel("corr(|error|, σ)"); ax.grid(True)
+    curve_path = f"{path_prefix}_curve.pdf"
+    fig.tight_layout(); fig.savefig(curve_path, dpi=200); plt.close(fig)
+    return [scatter_path, curve_path]
+
+
 def animate_solution(preds, truth, nt: int, nx: int, path: str = "solution.mp4",
                      fps: int = 10):
     """Mean +- 3 sigma vs truth over time (reference ``animate_soln`` :45-102).
