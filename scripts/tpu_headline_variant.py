@@ -105,9 +105,23 @@ VARIANTS = {
     # this backend.
     "S48": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # C2/C3: headline config S with a COARSE-GRID surrogate trajectory
+    # gradient (ops.grid_stride_subset of the 101x101 query grid, likelihood
+    # term rescaled by P/p). Every gradient cost component scales with the
+    # query-point count, so stride 2 (2601 pts) is ~4x fewer FLOPs per
+    # leapfrog step and stride 3 (1156 pts) ~9x; the exact full-grid density
+    # at trajectory endpoints keeps MH unbiased. Measured cosine(full,
+    # coarse) > 0.99 on smooth targets (tests/test_gram.py) — acceptance
+    # should survive.
+    "C2": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "C3": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
-CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0}  # preconditioned-norm clip
+CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
+             "C2": 600.0, "C3": 600.0}  # preconditioned-norm clip
+COARSE_STRIDE = {"C2": 2, "C3": 3}
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48}
 SEGMENT = 120
@@ -139,7 +153,14 @@ def main(name, keys=(2, 3, 4)):
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
-    grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0)
+    subset = None
+    if name in COARSE_STRIDE:
+        from vihmc_tpu.ops import grid_stride_subset
+
+        nt = int(round(tx.shape[0] ** 0.5))
+        subset = grid_stride_subset(nt, tx.shape[0] // nt, COARSE_STRIDE[name])
+    grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0,
+                                          query_subset=subset)
     gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
     if name in CLIP_GRAD:
         from vihmc_tpu.hmc import clipped_grad_fn

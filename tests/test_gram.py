@@ -440,6 +440,65 @@ def test_clipped_grad_inactive_in_equilibrium():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_query_subset_gradient_is_scaled_subgrid_gradient():
+    """make_gram_grad_full(query_subset=sel) == (P/p) * autodiff gradient of
+    the likelihood restricted to the selected query points."""
+    rng = np.random.default_rng(11)
+    bx, tx, y = _problem(rng, n_fn=7, n_pts=24)
+    sel = np.array([0, 3, 6, 9, 12, 15, 18, 21])
+    grad_sub, flat0, unravel = make_gram_grad_full(
+        SMALL, bx, tx, y, tau_var=0.7, query_subset=sel)
+    apply_flat, _, _ = make_flat_deeponet(SMALL)
+    like = get_likelihood("NLL")
+
+    def lp_subgrid(flat):
+        return like(apply_flat(flat, bx, tx[sel]), y[:, sel], 0.7)
+
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+    want = (24 / 8) * jax.grad(lp_subgrid)(flat)
+    got = grad_sub(flat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_grid_stride_subset_covers_grid():
+    from vihmc_tpu.ops import grid_stride_subset
+
+    sel = grid_stride_subset(5, 7, 2)
+    # t-major ravel: rows 0,2,4 x cols 0,2,4,6
+    want = sorted(t * 7 + x for t in (0, 2, 4) for x in (0, 2, 4, 6))
+    assert sorted(int(i) for i in sel) == want
+
+
+def test_coarse_grid_surrogate_tracks_full_gradient():
+    """On a smooth problem the stride-2 surrogate gradient points in nearly
+    the same direction as the full-grid gradient (cosine ~ 1) — that is why
+    acceptance survives the 4x-cheaper trajectory."""
+    from vihmc_tpu.ops import grid_stride_subset
+
+    rng = np.random.default_rng(13)
+    nt, nx = 9, 9
+    bx = jnp.asarray(rng.normal(size=(6, SMALL.in_branch)), jnp.float32)
+    tt, xx = np.meshgrid(np.linspace(0, 1, nt), np.linspace(0, 1, nx),
+                         indexing="ij")
+    tx = jnp.asarray(np.stack([tt.ravel(), xx.ravel()], -1), jnp.float32)
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    flat_true = flat0 + 0.1 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+    y = apply_flat(flat_true, bx, tx)  # smooth targets from the model itself
+
+    grad_full, _, _ = make_gram_grad_full(SMALL, bx, tx, y, tau_var=1.0)
+    sel = grid_stride_subset(nt, nx, 2)
+    grad_coarse, _, _ = make_gram_grad_full(SMALL, bx, tx, y, tau_var=1.0,
+                                            query_subset=sel)
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+    g_full = np.asarray(grad_full(flat))
+    g_coarse = np.asarray(grad_coarse(flat))
+    cos = g_full @ g_coarse / (np.linalg.norm(g_full) * np.linalg.norm(g_coarse))
+    assert cos > 0.99
+    np.testing.assert_allclose(np.linalg.norm(g_coarse),
+                               np.linalg.norm(g_full), rtol=0.2)
+
+
 def test_clipped_grad_always_binding_stays_exact():
     """Statistical exactness under an ALWAYS-binding clip: with max_norm
     far below the typical gradient norm the proposal field is wrong

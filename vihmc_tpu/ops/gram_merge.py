@@ -70,7 +70,7 @@ def merge_nll_gram_cotangents(bout, tout, bias, y, tau):
 
 
 def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
-                        key=None):
+                        key=None, query_subset=None):
     """d log-posterior / d flat for the shared-grid homoscedastic-NLL DeepONet.
 
     Returns ``(grad_full, flat0, unravel)`` where ``grad_full(flat) -> (D,)``
@@ -78,6 +78,20 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     variance ``tau_var`` + optional ``prior``) up to the Gram-form fp32
     rounding discussed in the module docstring. Pair with the exact
     log-density as the HMC kernel's ``grad_fn``.
+
+    ``query_subset`` (optional int array of indices into the P query points)
+    makes this a **coarse-grid surrogate gradient**: the likelihood term is
+    evaluated on only those query points and rescaled by ``P / len(subset)``.
+    Every cost component of the gradient — trunk forward, the two
+    ``y``-contractions, and the feature VJP — scales linearly in the number
+    of query points, so a stride-2 subset of a regular grid costs ~4x less
+    per leapfrog step. The subset is FIXED, so the field stays deterministic
+    and MH with the exact full-grid density at trajectory endpoints remains
+    unbiased (same argument as the fp32-rounding caveat above); only
+    acceptance degrades if the surrogate tracks the full gradient poorly.
+    For regular space-time grids pick a stride subset (see
+    :func:`grid_stride_subset`) rather than a random one — it preserves
+    coverage of the domain.
     """
     from vihmc_tpu.models.deeponet import deeponet_features, init_deeponet
 
@@ -90,6 +104,13 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     key = jax.random.key(0) if key is None else key
     flat0, unravel = ravel_pytree(init_deeponet(key, cfg))
 
+    ll_scale = 1.0
+    if query_subset is not None:
+        sel = jnp.asarray(query_subset)
+        ll_scale = trunk_x.shape[0] / sel.shape[0]
+        trunk_x = trunk_x[sel]
+        y = y[:, sel]
+
     def feats_flat(flat):
         params = unravel(flat)
         bout, tout = deeponet_features(cfg, params, branch_x, trunk_x)
@@ -98,9 +119,23 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     def grad_full(flat):
         (bout, tout, bias), vjp = jax.vjp(feats_flat, flat)
         cts = merge_nll_gram_cotangents(bout, tout, bias, y, tau_var)
+        if ll_scale != 1.0:
+            cts = tuple(ll_scale * c for c in cts)
         (gflat,) = vjp(cts)
         if prior is not None:
             gflat = gflat + jax.grad(prior.log_prob)(flat)
         return gflat
 
     return grad_full, flat0, unravel
+
+
+def grid_stride_subset(nt: int, nx: int, stride: int):
+    """Indices of every ``stride``-th point of a t-major (nt, nx) raveled
+    grid, in both dimensions — the coarse grid for the surrogate trajectory
+    gradient. Includes the first point of each dimension; endpoint coverage
+    follows from stride | (n-1) when applicable."""
+    import numpy as np
+
+    ti = np.arange(0, nt, stride)
+    xi = np.arange(0, nx, stride)
+    return (ti[:, None] * nx + xi[None, :]).ravel()
