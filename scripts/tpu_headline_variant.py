@@ -117,11 +117,13 @@ VARIANTS = {
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "C3": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "C4": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
-             "C2": 600.0, "C3": 600.0}  # preconditioned-norm clip
-COARSE_STRIDE = {"C2": 2, "C3": 3}
+             "C2": 600.0, "C3": 600.0, "C4": 600.0}  # preconditioned-norm clip
+COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4}
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48}
 SEGMENT = 120

@@ -550,6 +550,31 @@ def test_pipeline_clip_and_jitter_options():
     with pytest.raises(ValueError):
         vi_hmc.run_operator(dc.replace(cfg, algorithm="nuts"), dcfg, arts,
                             key=jax.random.key(1), data=(train, valid))
+    # coarse_stride flows through the gram path (non-square 9x12 grid)
+    out2 = vi_hmc.run_operator(dc.replace(cfg, coarse_stride=2), dcfg, arts,
+                               key=jax.random.key(1), data=(train, valid))
+    assert np.isfinite(np.asarray(out2["result"].samples)).all()
+    # ... and is rejected off the gram path / on the NN workload
+    with pytest.raises(ValueError):
+        vi_hmc.run_operator(dc.replace(cfg, coarse_stride=2), dcfg, arts,
+                            key=jax.random.key(1), data=(train, valid),
+                            use_gram=False)
+    from vihmc_tpu.models import MLPConfig
+    with pytest.raises(ValueError):
+        vi_hmc.run_nn(dc.replace(cfg, coarse_stride=2), MLPConfig(), arts,
+                      key=jax.random.key(1))
+
+
+def test_infer_grid_shape():
+    from vihmc_tpu.ops import infer_grid_shape
+
+    tt, xx = np.meshgrid(np.linspace(0, 1, 7), np.linspace(0, 1, 5),
+                         indexing="ij")
+    grid = np.stack([tt.ravel(), xx.ravel()], -1)
+    assert infer_grid_shape(grid) == (7, 5)
+    shuffled = grid[np.random.default_rng(0).permutation(len(grid))]
+    with pytest.raises(ValueError):
+        infer_grid_shape(shuffled)
 
 
 def test_hmc_nuts_pipeline_gram_parity():

@@ -129,6 +129,25 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     return grad_full, flat0, unravel
 
 
+def infer_grid_shape(trunk_x):
+    """(nt, nx) of a t-major raveled regular grid ``trunk_x`` of shape
+    (nt*nx, 2) with columns (t, x) — each t value appears exactly nx times
+    in a contiguous block (the layout of data.burgers.generate and the
+    reference .mat grid). Raises ValueError if the layout doesn't hold."""
+    import numpy as np
+
+    t = np.asarray(trunk_x[:, 0])
+    nx = int(np.sum(t == t[0]))
+    p = t.shape[0]
+    if nx == 0 or p % nx:
+        raise ValueError(f"not a regular t-major grid: P={p}, nx={nx}")
+    nt = p // nx
+    rows = t.reshape(nt, nx)
+    if not (rows == rows[:, :1]).all():
+        raise ValueError("not a regular t-major grid: t varies within rows")
+    return nt, nx
+
+
 def grid_stride_subset(nt: int, nx: int, stride: int):
     """Indices of every ``stride``-th point of a t-major (nt, nx) raveled
     grid, in both dimensions — the coarse grid for the surrogate trajectory

@@ -90,6 +90,10 @@ def build_parser():
                    help="preconditioned grad-norm clip on the trajectory "
                         "field (~13*sqrt(subspace dim); frees tail-trapped "
                         "chains, MH stays exact)")
+    p.add_argument("--coarse-stride", type=int, default=None,
+                   help="coarse-grid surrogate trajectory gradient: keep "
+                        "every stride-th query point per grid dim (exact "
+                        "density at endpoints; ~3.8x wall clock at stride 2)")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
@@ -205,7 +209,8 @@ def main(argv=None):
                         jitter_eps=(True if args.jitter_eps else None),
                         jitter_low_frac=(0.5 if (args.jitter_l or args.jitter_eps)
                                          else None),
-                        clip_grad=args.clip_grad)
+                        clip_grad=args.clip_grad,
+                        coarse_stride=args.coarse_stride)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
                                 key=key, store=store)

@@ -134,6 +134,14 @@ class VIHMCRunConfig:
                                      # frees chains trapped in far tails
                                      # under the refresh policy. ~13*sqrt(d)
                                      # recommended; plain HMC only
+    coarse_stride: Optional[int] = None  # coarse-grid surrogate TRAJECTORY
+                                     # gradient: keep every stride-th query
+                                     # point per grid dim in the Gram
+                                     # gradient (rescaled), exact density at
+                                     # endpoints. stride=2 measured ~3.8x
+                                     # wall clock at unchanged ESS
+                                     # (docs/performance.md); operator gram
+                                     # path only
     max_step: Optional[float] = None  # clamp the adapted step actually used
 
     @property

@@ -296,6 +296,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
            mesh=None, store: Optional[RunStore] = None):
     """NN regression VI-HMC (reference main_VI_HMC.py)."""
+    if cfg.coarse_stride:
+        raise ValueError("coarse_stride applies to the operator workload's "
+                         "query grid only")
     key = jax.random.key(0) if key is None else key
     kd, ks = jax.random.split(key)
     if data is None:
@@ -378,11 +381,21 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
                      and train_split["trunk_in"].ndim == 2)
     full_grad = None
     if use_gram or (use_gram is None and gram_eligible):
-        from vihmc_tpu.ops.gram_merge import make_gram_grad_full
+        from vihmc_tpu.ops.gram_merge import (grid_stride_subset,
+                                              infer_grid_shape,
+                                              make_gram_grad_full)
 
+        subset = None
+        if cfg.coarse_stride and cfg.coarse_stride > 1:
+            nt_g, nx_g = infer_grid_shape(train_split["trunk_in"])
+            subset = grid_stride_subset(nt_g, nx_g, cfg.coarse_stride)
         full_grad, _, _ = make_gram_grad_full(
             deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
-            train_split["solution"], tau_var=cfg.tau_out)
+            train_split["solution"], tau_var=cfg.tau_out,
+            query_subset=subset)
+    elif cfg.coarse_stride:
+        raise ValueError("coarse_stride requires the Gram trajectory-gradient "
+                         "path (plain HMC, NLL, shared grid, use_gram)")
 
     out = run_subspace_hmc(
         cfg,
