@@ -281,7 +281,7 @@ def bench_grad_path(quick: bool, iters: int = 30):
     return out
 
 
-def bench_nn(quick: bool):
+def bench_nn(quick: bool, skip_baseline: bool = False):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
     subspace VI-HMC on the 141-param regression MLP at the reference's
     configuration (subspace 78/141 @ 90% captured variance, step 5e-4,
@@ -366,7 +366,113 @@ def bench_nn(quick: bool):
         "draws": n_samples,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
     })
+    if not skip_baseline:
+        try:
+            tb = bench_torch_baseline_nn(
+                x, y, mu, sigma, idx, L, float(cfg.step_size), n_samples,
+                ref_forward=lambda f: apply_flat(f, x))
+            if tb is not None:
+                stats["torch_cpu_samples_per_s"] = tb["samples_per_s"]
+                stats["vs_baseline"] = stats["samples_per_s"] / tb["samples_per_s"]
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"# nn baseline failed: {e}", file=sys.stderr)
     return stats
+
+
+def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
+                            ref_forward=None, max_seconds: float = 120.0):
+    """Identical NN posterior + kernel in torch on CPU (reference substrate).
+
+    Mirrors ``bench_nn``'s posterior: 141-param tanh MLP (NLL likelihood,
+    tau_out = 5e-2^2), VI-preconditioned subspace over ``idx`` with the
+    per-draw frozen-coordinate refresh policy, and the SAME trajectory cost
+    (L leapfrog steps of ``step``) as the jax headline — so ``vs_baseline``
+    compares draws/s at identical per-draw gradient work.
+
+    ``ref_forward``: optional callable flat->pred used to assert the torch
+    flat-vector unpack matches the jax ravel ordering before timing.
+    """
+    import torch
+
+    from vihmc_tpu.models import MLPConfig
+
+    torch.manual_seed(0)
+    cfg = MLPConfig()
+    dims = cfg.layer_dims
+    x_t = torch.tensor(np.asarray(x))
+    y_t = torch.tensor(np.asarray(y))
+    mu_t = torch.tensor(np.asarray(mu))
+    sigma_t = torch.tensor(np.asarray(sigma))
+    idx_t = torch.tensor(np.asarray(idx), dtype=torch.long)
+
+    def forward(flat):
+        # jax ravel_pytree order: list of {'b','w'} dicts, keys sorted -> per
+        # layer bias then row-major (out, in) weight
+        i = 0
+        h = x_t
+        for li, (d_in, d_out) in enumerate(dims):
+            b = flat[i:i + d_out]; i += d_out
+            w = flat[i:i + d_in * d_out].view(d_out, d_in); i += d_in * d_out
+            h = torch.nn.functional.linear(h, w, b)
+            if li < len(dims) - 1:
+                h = torch.tanh(h)
+        return h
+
+    if ref_forward is not None:
+        want = np.asarray(ref_forward(mu))
+        got = forward(mu_t).detach().numpy()
+        if not np.allclose(want, got, atol=1e-5):
+            print("# torch NN baseline forward mismatch; skipping baseline",
+                  file=sys.stderr)
+            return None
+
+    nll = torch.nn.GaussianNLLLoss(reduction="sum")
+    noise_var = 5e-2 ** 2
+
+    def log_prob(q_sub, frozen):
+        full = frozen.clone()
+        full[idx_t] = q_sub
+        pred = forward(full)
+        ll = -nll(pred, y_t, noise_var * torch.ones_like(pred))
+        pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
+        return ll + pr
+
+    q = mu_t[idx_t].clone()
+    frozen = mu_t.clone()
+    inv_mass = sigma_t[idx_t] ** 2
+
+    def grad_lp(q):
+        q = q.detach().requires_grad_(True)
+        lp = log_prob(q, frozen)
+        (g,) = torch.autograd.grad(lp, q)
+        return lp.detach(), g
+
+    n_done = 0
+    draw_times = []
+    t0 = time.perf_counter()
+    while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
+        td = time.perf_counter()
+        frozen = mu_t + sigma_t * torch.randn_like(mu_t)  # refresh policy
+        lp0, g = grad_lp(q)
+        p = torch.randn_like(q) / inv_mass.sqrt()
+        q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
+        lp1 = lp0
+        for _ in range(L):
+            p_new = p_new + 0.5 * step * g_new
+            q_new = q_new + step * inv_mass * p_new
+            lp1, g_new = grad_lp(q_new)
+            p_new = p_new + 0.5 * step * g_new
+        delta = (lp1 - 0.5 * (inv_mass * p_new * p_new).sum()) - \
+                (lp0 - 0.5 * (inv_mass * p * p).sum())
+        if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
+            q = q_new
+        n_done += 1
+        draw_times.append(time.perf_counter() - td)
+    import statistics
+
+    per_draw = statistics.median(draw_times) if draw_times else float("inf")
+    return {"elapsed_s": time.perf_counter() - t0,
+            "samples_per_s": 1.0 / per_draw, "draws": n_done}
 
 
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
@@ -500,12 +606,13 @@ def main():
     args = ap.parse_args()
 
     if args.workload == "nn":
-        nn_stats = bench_nn(args.quick)
+        nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline)
+        vsb = nn_stats.pop("vs_baseline", None)
         print(json.dumps({
             "metric": "ess_per_sec_vihmc_nn",
             "value": round(nn_stats["ess_per_s"], 3),
             "unit": "effective_samples/s/chip",
-            "vs_baseline": None,
+            "vs_baseline": round(vsb, 2) if vsb is not None else None,
             "extras": {k: (round(v, 4) if isinstance(v, float) else v)
                        for k, v in nn_stats.items()},
         }))
