@@ -524,6 +524,69 @@ def test_clipped_grad_always_binding_stays_exact():
     np.testing.assert_allclose(post.var(axis=0), 1.0, rtol=0.12)
 
 
+def test_coarse_stride_surrogate_stays_statistically_exact():
+    """MH-exactness of the coarse-grid surrogate trajectory field: sampling
+    the SAME small DeepONet subspace posterior with (a) exact full-grid
+    trajectory gradients and (b) the stride-2 surrogate must produce the
+    same posterior moments within MC error — the surrogate only shapes the
+    proposal; the accept step uses the exact full-grid density. This is the
+    statistical guarantee the headline bench configuration (BENCH_STRIDE=3)
+    rests on, complementing the gradient-level checks above."""
+    from vihmc_tpu.ops import grid_stride_subset
+
+    rng = np.random.default_rng(17)
+    nt, nx = 9, 9
+    bx = jnp.asarray(rng.normal(size=(6, SMALL.in_branch)), jnp.float32)
+    tt, xx = np.meshgrid(np.linspace(0, 1, nt), np.linspace(0, 1, nx),
+                         indexing="ij")
+    tx = jnp.asarray(np.stack([tt.ravel(), xx.ravel()], -1), jnp.float32)
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    flat_true = flat0 + 0.1 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+    y = apply_flat(flat_true, bx, tx) + \
+        0.1 * jnp.asarray(rng.normal(size=(6, nt * nx)), jnp.float32)
+
+    d = flat0.shape[0]
+    mu = flat_true
+    sigma = jnp.asarray(0.02 + 0.02 * rng.random(d), jnp.float32)
+    idx = np.sort(rng.choice(d, size=8, replace=False))
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def full_ll(flat):
+        return like(apply_flat(flat, bx, tx), y, 1.0)
+
+    # frozen-at-mean policy: deterministic aux -> a FIXED target posterior
+    lp_like, aux0, _ = make_subspace_log_prob(full_ll, spec, FrozenPolicy.MEAN)
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    grad_exact, _, _ = make_gram_grad_full(SMALL, bx, tx, y, 1.0)
+    sel = grid_stride_subset(nt, nx, 2)
+    grad_coarse, _, _ = make_gram_grad_full(SMALL, bx, tx, y, 1.0,
+                                            query_subset=sel)
+
+    cfg = HMCConfig(num_samples=1200, num_leapfrog=8, step_size=0.25,
+                    burn=0, jitter_l=True, jitter_low_frac=0.5)
+    inits = jnp.tile(spec.sub_mu()[None], (8, 1))
+
+    def moments(grad_full):
+        grad_fn = make_subspace_grad(grad_full, spec, prior=prior)
+        res = sample_chains(log_prob, inits, jax.random.key(3), cfg,
+                            inv_mass=spec.sub_sigma() ** 2, aux=aux0,
+                            grad_fn=grad_fn)
+        assert float(res.acceptance_rate) > 0.3
+        post = np.asarray(res.samples)[:, 300:, :].reshape(-1, len(idx))
+        return post.mean(axis=0), post.std(axis=0)
+
+    m_exact, s_exact = moments(grad_exact)
+    m_coarse, s_coarse = moments(grad_coarse)
+    # means agree within a fraction of the posterior scale; stds match
+    np.testing.assert_allclose(m_coarse, m_exact, atol=0.25 * s_exact.max())
+    np.testing.assert_allclose(s_coarse, s_exact, rtol=0.25)
+
+
 def test_pipeline_clip_and_jitter_options():
     """VIHMCRunConfig.clip_grad / jitter_l flow through run_operator."""
     import dataclasses as dc
