@@ -119,11 +119,24 @@ VARIANTS = {
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "C4": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F2/F3: headline C3 + a FUNCTION-stride surrogate on the same gradient
+    # (every 2nd/3rd of the 1000 training functions, rescaled). The query
+    # stride leaves the branch forward/VJP and y-contractions as the
+    # per-step cost floor (C3 -> C4 only gained 7% despite 40% fewer query
+    # points); the fn stride attacks exactly that floor. Exactness argument
+    # unchanged: fixed subsets -> deterministic field, exact full density at
+    # endpoints (tests/test_gram.py::test_fn_subset_*).
+    "F2": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "F3": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
-             "C2": 600.0, "C3": 600.0, "C4": 600.0}  # preconditioned-norm clip
-COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4}
+             "C2": 600.0, "C3": 600.0, "C4": 600.0,
+             "F2": 600.0, "F3": 600.0}  # preconditioned-norm clip
+COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3}
+FN_STRIDE = {"F2": 2, "F3": 3}
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48}
 SEGMENT = 120
@@ -161,8 +174,12 @@ def main(name, keys=(2, 3, 4)):
 
         nt = int(round(tx.shape[0] ** 0.5))
         subset = grid_stride_subset(nt, tx.shape[0] // nt, COARSE_STRIDE[name])
+    fn_subset = None
+    if name in FN_STRIDE:
+        fn_subset = np.arange(0, bx.shape[0], FN_STRIDE[name])
     grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0,
-                                          query_subset=subset)
+                                          query_subset=subset,
+                                          fn_subset=fn_subset)
     gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
     if name in CLIP_GRAD:
         from vihmc_tpu.hmc import clipped_grad_fn

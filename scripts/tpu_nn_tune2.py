@@ -1,0 +1,97 @@
+"""NN-workload chains x L x draws sweep at the tuned step (0.1).
+
+Round-1 tune (scripts/tpu_nn_tune.py at 1024 chains) found step 0.1, L=32
+the honest optimum (~500 ESS/s at acceptance 0.64; larger steps push the
+printed ESS/s up only through estimator artifacts at near-zero acceptance).
+The wall clock is latency-bound (~1.6 s for ANY config at 120 draws), so
+chains and draws should be nearly free — this sweep maps how far pooled
+ESS/s actually scales with both.
+
+Usage: python scripts/tpu_nn_tune2.py
+"""
+
+import itertools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vihmc_tpu.chains import sample_chains, effective_sample_size_np
+from vihmc_tpu.data.synthetic import regression_data
+from vihmc_tpu.dists.likelihoods import get_likelihood
+from vihmc_tpu.dists.priors import DiagonalGaussianPrior
+from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
+                           clipped_grad_fn, make_subspace_log_prob)
+from vihmc_tpu.models import MLPConfig
+from vihmc_tpu.pipelines.common import make_flat_mlp
+
+STEP = 0.1
+CONFIGS = (
+    # (chains, L, draws)
+    (1024, 32, 120),
+    (4096, 32, 120),
+    (1024, 64, 120),
+    (1024, 32, 360),
+    (4096, 32, 360),
+)
+
+
+def main():
+    mlp = MLPConfig()
+    apply_flat, flat0, _ = make_flat_mlp(mlp)
+    d = flat0.shape[0]
+    data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
+    x, y = data["x_train"], data["y_train"]
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
+    idx = np.sort(rng.choice(d, size=78, replace=False))
+    spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+
+    def full_ll(flat):
+        return like(apply_flat(flat, x), y, 5e-2 ** 2)
+
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    grad_fn = clipped_grad_fn(log_prob, 13.0 * len(idx) ** 0.5,
+                              inv_mass=spec.sub_sigma() ** 2, is_grad=False)
+
+    for n_chains, L, n_samples in CONFIGS:
+        cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=STEP,
+                        burn=n_samples // 5, sampler="hmc",
+                        jitter_l=True, jitter_low_frac=0.5)
+        inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+
+        def run(key):
+            return sample_chains(log_prob, inits, key, cfg,
+                                 inv_mass=spec.sub_sigma() ** 2,
+                                 aux=aux0, aux_refresh=refresh,
+                                 grad_fn=grad_fn)
+
+        res = run(jax.random.key(1))
+        np.asarray(res.samples)
+        for k in (2, 3):
+            t0 = time.perf_counter()
+            res = run(jax.random.key(k))
+            samples = np.asarray(res.samples)
+            dt = time.perf_counter() - t0
+            ess = float(np.median(
+                effective_sample_size_np(samples[:, n_samples // 5:, :])))
+            print(f"C={n_chains:5d} L={L:3d} N={n_samples:4d} key={k}  "
+                  f"elapsed={dt:6.2f}s  accept={float(res.acceptance_rate):.3f}  "
+                  f"ESS={ess:9.1f}  ESS/s={ess / dt:9.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -461,6 +461,39 @@ def test_query_subset_gradient_is_scaled_subgrid_gradient():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_fn_subset_gradient_is_scaled_subset_gradient():
+    """make_gram_grad_full(fn_subset=sel) == (B/b) * autodiff gradient of
+    the likelihood restricted to the selected training functions; composes
+    with query_subset (scale = (B*P)/(b*p))."""
+    rng = np.random.default_rng(19)
+    bx, tx, y = _problem(rng, n_fn=9, n_pts=20)
+    fsel = np.array([0, 2, 4, 6, 8])
+    qsel = np.array([0, 4, 8, 12, 16])
+    apply_flat, flat0, _ = make_flat_deeponet(SMALL)
+    like = get_likelihood("NLL")
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape), jnp.float32)
+
+    grad_f, _, _ = make_gram_grad_full(SMALL, bx, tx, y, tau_var=0.7,
+                                       fn_subset=fsel)
+
+    def lp_fns(flat):
+        return like(apply_flat(flat, bx[fsel], tx), y[fsel], 0.7)
+
+    np.testing.assert_allclose(np.asarray(grad_f(flat)),
+                               np.asarray((9 / 5) * jax.grad(lp_fns)(flat)),
+                               rtol=2e-3, atol=2e-3)
+
+    grad_fq, _, _ = make_gram_grad_full(SMALL, bx, tx, y, tau_var=0.7,
+                                        fn_subset=fsel, query_subset=qsel)
+
+    def lp_both(flat):
+        return like(apply_flat(flat, bx[fsel], tx[qsel]), y[np.ix_(fsel, qsel)], 0.7)
+
+    want = (9 / 5) * (20 / 5) * jax.grad(lp_both)(flat)
+    np.testing.assert_allclose(np.asarray(grad_fq(flat)), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_grid_stride_subset_covers_grid():
     from vihmc_tpu.ops import grid_stride_subset
 

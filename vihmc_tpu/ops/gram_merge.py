@@ -70,7 +70,7 @@ def merge_nll_gram_cotangents(bout, tout, bias, y, tau):
 
 
 def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
-                        key=None, query_subset=None):
+                        key=None, query_subset=None, fn_subset=None):
     """d log-posterior / d flat for the shared-grid homoscedastic-NLL DeepONet.
 
     Returns ``(grad_full, flat0, unravel)`` where ``grad_full(flat) -> (D,)``
@@ -92,6 +92,15 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     For regular space-time grids pick a stride subset (see
     :func:`grid_stride_subset`) rather than a random one — it preserves
     coverage of the domain.
+
+    ``fn_subset`` (optional int array of indices into the B training
+    functions) is the same surrogate along the OTHER likelihood axis: the
+    gradient sums the likelihood over only those functions, rescaled by
+    ``B / len(subset)``. The branch forward/VJP and the ``y``-contractions
+    scale with the function count (the trunk does not), so this attacks
+    exactly the cost floor the query stride leaves behind. Both subsets
+    compose; exactness is unchanged (fixed subsets -> deterministic field,
+    MH on the exact full density at endpoints).
     """
     from vihmc_tpu.models.deeponet import deeponet_features, init_deeponet
 
@@ -110,6 +119,11 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
         ll_scale = trunk_x.shape[0] / sel.shape[0]
         trunk_x = trunk_x[sel]
         y = y[:, sel]
+    if fn_subset is not None:
+        fsel = jnp.asarray(fn_subset)
+        ll_scale = ll_scale * (branch_x.shape[0] / fsel.shape[0])
+        branch_x = branch_x[fsel]
+        y = y[fsel]
 
     def feats_flat(flat):
         params = unravel(flat)
