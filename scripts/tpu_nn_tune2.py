@@ -29,14 +29,20 @@ from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
 from vihmc_tpu.models import MLPConfig
 from vihmc_tpu.pipelines.common import make_flat_mlp
 
-STEP = 0.1
 CONFIGS = (
-    # (chains, L, draws)
-    (1024, 32, 120),
-    (4096, 32, 120),
-    (1024, 64, 120),
-    (1024, 32, 360),
-    (4096, 32, 360),
+    # (step, chains, L, draws). Round 1 measured at step 0.1 (keys 2/3,
+    # ESS/s):
+    #   1024/32/120: 303-552   4096/32/120: 183-261 (leaves the latency-
+    #   bound regime)   1024/64/120: 597-686   1024/32/360: 102-174 (pooled
+    #   ESS saturates with draws under the refresh policy)
+    #   1024/96/120: 758-777 (accept 0.32)   1024/128/120: 467-663
+    #   2048/64/120: 528-610   2048/96/120: 364-624
+    # -> third round: acceptance falls with L at step 0.1 (integration
+    #    error), so trade step down for long L around the 1024/96 winner.
+    (0.07, 1024, 96, 120),
+    (0.07, 1024, 128, 120),
+    (0.05, 1024, 128, 120),
+    (0.1, 1024, 80, 120),
 )
 
 
@@ -67,8 +73,8 @@ def main():
     grad_fn = clipped_grad_fn(log_prob, 13.0 * len(idx) ** 0.5,
                               inv_mass=spec.sub_sigma() ** 2, is_grad=False)
 
-    for n_chains, L, n_samples in CONFIGS:
-        cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=STEP,
+    for step, n_chains, L, n_samples in CONFIGS:
+        cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
                         burn=n_samples // 5, sampler="hmc",
                         jitter_l=True, jitter_low_frac=0.5)
         inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
@@ -88,7 +94,7 @@ def main():
             dt = time.perf_counter() - t0
             ess = float(np.median(
                 effective_sample_size_np(samples[:, n_samples // 5:, :])))
-            print(f"C={n_chains:5d} L={L:3d} N={n_samples:4d} key={k}  "
+            print(f"s={step:4.2f} C={n_chains:5d} L={L:3d} N={n_samples:4d} key={k}  "
                   f"elapsed={dt:6.2f}s  accept={float(res.acceptance_rate):.3f}  "
                   f"ESS={ess:9.1f}  ESS/s={ess / dt:9.2f}", flush=True)
 

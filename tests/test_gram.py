@@ -659,6 +659,18 @@ def test_pipeline_clip_and_jitter_options():
     with pytest.raises(ValueError):
         vi_hmc.run_nn(dc.replace(cfg, coarse_stride=2), MLPConfig(), arts,
                       key=jax.random.key(1))
+    # fn_stride flows through the gram path and composes with coarse_stride
+    out3 = vi_hmc.run_operator(dc.replace(cfg, coarse_stride=2, fn_stride=2),
+                               dcfg, arts, key=jax.random.key(1),
+                               data=(train, valid))
+    assert np.isfinite(np.asarray(out3["result"].samples)).all()
+    with pytest.raises(ValueError):
+        vi_hmc.run_operator(dc.replace(cfg, fn_stride=2), dcfg, arts,
+                            key=jax.random.key(1), data=(train, valid),
+                            use_gram=False)
+    with pytest.raises(ValueError):
+        vi_hmc.run_nn(dc.replace(cfg, fn_stride=2), MLPConfig(), arts,
+                      key=jax.random.key(1))
 
 
 def test_infer_grid_shape():

@@ -94,6 +94,10 @@ def build_parser():
                    help="coarse-grid surrogate trajectory gradient: keep "
                         "every stride-th query point per grid dim (exact "
                         "density at endpoints; ~3.8x wall clock at stride 2)")
+    p.add_argument("--fn-stride", type=int, default=None,
+                   help="function-stride surrogate trajectory gradient: keep "
+                        "every stride-th training function (rescaled; exact "
+                        "density at endpoints; composes with --coarse-stride)")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
@@ -210,7 +214,8 @@ def main(argv=None):
                         jitter_low_frac=(0.5 if (args.jitter_l or args.jitter_eps)
                                          else None),
                         clip_grad=args.clip_grad,
-                        coarse_stride=args.coarse_stride)
+                        coarse_stride=args.coarse_stride,
+                        fn_stride=args.fn_stride)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
                                 key=key, store=store)

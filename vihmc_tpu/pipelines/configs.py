@@ -142,6 +142,15 @@ class VIHMCRunConfig:
                                      # wall clock at unchanged ESS
                                      # (docs/performance.md); operator gram
                                      # path only
+    fn_stride: Optional[int] = None  # function-stride surrogate TRAJECTORY
+                                     # gradient: keep every stride-th
+                                     # training function in the Gram
+                                     # gradient (rescaled) — attacks the
+                                     # branch-cost floor the query stride
+                                     # leaves behind; composes with
+                                     # coarse_stride. Exact density at
+                                     # endpoints keeps MH unbiased; operator
+                                     # gram path only
     max_step: Optional[float] = None  # clamp the adapted step actually used
 
     @property

@@ -296,9 +296,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
            mesh=None, store: Optional[RunStore] = None):
     """NN regression VI-HMC (reference main_VI_HMC.py)."""
-    if cfg.coarse_stride:
-        raise ValueError("coarse_stride applies to the operator workload's "
-                         "query grid only")
+    if cfg.coarse_stride or cfg.fn_stride:
+        raise ValueError("coarse_stride/fn_stride apply to the operator "
+                         "workload's Gram gradient only")
     key = jax.random.key(0) if key is None else key
     kd, ks = jax.random.split(key)
     if data is None:
@@ -389,13 +389,20 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         if cfg.coarse_stride and cfg.coarse_stride > 1:
             nt_g, nx_g = infer_grid_shape(train_split["trunk_in"])
             subset = grid_stride_subset(nt_g, nx_g, cfg.coarse_stride)
+        fn_subset = None
+        if cfg.fn_stride and cfg.fn_stride > 1:
+            import numpy as _np
+
+            fn_subset = _np.arange(0, train_split["branch_in"].shape[0],
+                                   cfg.fn_stride)
         full_grad, _, _ = make_gram_grad_full(
             deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
             train_split["solution"], tau_var=cfg.tau_out,
-            query_subset=subset)
-    elif cfg.coarse_stride:
-        raise ValueError("coarse_stride requires the Gram trajectory-gradient "
-                         "path (plain HMC, NLL, shared grid, use_gram)")
+            query_subset=subset, fn_subset=fn_subset)
+    elif cfg.coarse_stride or cfg.fn_stride:
+        raise ValueError("coarse_stride/fn_stride require the Gram "
+                         "trajectory-gradient path (plain HMC, NLL, shared "
+                         "grid, use_gram)")
 
     out = run_subspace_hmc(
         cfg,
