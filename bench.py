@@ -283,9 +283,18 @@ def bench_grad_path(quick: bool, iters: int = 30):
 
 def bench_nn(quick: bool, skip_baseline: bool = False):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
-    subspace VI-HMC on the 141-param regression MLP at the reference's
-    configuration (subspace 78/141 @ 90% captured variance, step 5e-4,
-    L=196 by the analytic rule, NLL tau_out=5e-2^2, refresh policy)."""
+    subspace VI-HMC on the 141-param regression MLP (subspace 78/141 @ 90%
+    captured variance, NLL tau_out=5e-2^2, refresh policy).
+
+    Headline configuration (tuned on-chip, scripts/tpu_nn_tune*.py): the
+    model is latency-bound on a chip (wall clock ~flat in chains up to 1024
+    and in L up to ~100), so the config rides both free axes — 1024
+    vectorized chains, fixed d^-1/4-scale step 0.1 with trajectory length
+    jittered over [L/2, L], L=96 (measured 758-777 ESS/s at acceptance
+    0.32; the reference's analytic rule L=196 at step 5e-4 over 32 chains
+    measures 41.6). 4096 chains / 360 draws leave the latency-bound regime
+    or saturate pooled ESS and lose (sweep history in the script
+    docstrings)."""
     import jax
     import jax.numpy as jnp
 
@@ -323,14 +332,14 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
         return lp_like(q, aux) + prior.log_prob(q)
 
     # 120 draws matches the operator bench methodology. Same robustness
-    # recipe as the operator headline: [L/2, L] trajectory jitter, clipped
-    # trajectory gradients (tail-trap escape), median over three keys.
-    n_chains, n_samples, L = (4, 20, 8) if quick else (32, 120, 196)
+    # recipe as the operator headline: fixed d^-1/4-scale step, [L/2, L]
+    # trajectory jitter, clipped trajectory gradients (tail-trap escape),
+    # median over three keys. Chains/L tuned on-chip (docstring above).
+    n_chains, n_samples, L, step = (4, 20, 8, 0.1) if quick else (1024, 120, 96, 0.1)
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
-    cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=5e-4,
-                    burn=n_samples // 5, sampler="hmc_nuts",
-                    target_accept=0.65, jitter_l=True,
-                    jitter_low_frac=BENCH_JITTER_LOW)
+    cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
+                    burn=n_samples // 5, sampler="hmc",
+                    jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
     from vihmc_tpu.hmc import clipped_grad_fn
 
     grad_fn = clipped_grad_fn(log_prob, 13.0 * len(idx) ** 0.5,
@@ -419,9 +428,11 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
         return h
 
     if ref_forward is not None:
+        # ordering check only: tolerance sized for the TPU's default-precision
+        # (bf16-datapath) matmuls — an ordering bug produces O(1) differences
         want = np.asarray(ref_forward(mu))
         got = forward(mu_t).detach().numpy()
-        if not np.allclose(want, got, atol=1e-5):
+        if not np.allclose(want, got, rtol=1e-2, atol=1e-2):
             print("# torch NN baseline forward mismatch; skipping baseline",
                   file=sys.stderr)
             return None
