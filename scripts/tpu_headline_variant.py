@@ -130,13 +130,21 @@ VARIANTS = {
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "F3": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F3 measured (keys 3/4 steady state): 7.3-7.4s wall, accept 0.65,
+    # ESS/s 304-398 (C3: 8.9-9.4s, 295-345) -> push both strides:
+    "F34": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "F44": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "C2": 600.0, "C3": 600.0, "C4": 600.0,
-             "F2": 600.0, "F3": 600.0}  # preconditioned-norm clip
-COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3}
-FN_STRIDE = {"F2": 2, "F3": 3}
+             "F2": 600.0, "F3": 600.0, "F34": 600.0,
+             "F44": 600.0}  # preconditioned-norm clip
+COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
+                 "F34": 3, "F44": 4}
+FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4}
 FUSED_VALUE = {"L", "M"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48}
 SEGMENT = 120
