@@ -60,6 +60,10 @@ BENCH_STRIDE = 3           # coarse-grid surrogate trajectory gradient: every
                            # endpoints keeps MH unbiased; measured ESS
                            # unchanged at 3.8-4.7x the full-grid wall clock
                            # (variants C2/C3, docs/performance.md)
+BENCH_FN_STRIDE = 1        # function-stride surrogate on the trajectory
+                           # gradient (1 = all 1000 training functions; set
+                           # by on-chip measurement of the F variants,
+                           # scripts/tpu_headline_variant.py)
 BENCH_KEYS = (2, 3, 4)     # headline = median ESS/s over these
 BENCH_TARGET_ACCEPT = 0.55  # legacy adaptive config (--adaptive)
 
@@ -103,7 +107,8 @@ def build_problem(quick: bool, compute_dtype=None, draws=None):
 
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               draws=None, burn=None, use_gram: bool = True,
-              adaptive: bool = False, keys=None, stride=None):
+              adaptive: bool = False, keys=None, stride=None,
+              fn_stride=None):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -153,14 +158,22 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         from vihmc_tpu.ops import grid_stride_subset, infer_grid_shape, make_gram_grad_full
 
         stride = BENCH_STRIDE if stride is None else stride
+        fn_stride = BENCH_FN_STRIDE if fn_stride is None else fn_stride
         subset = None
         if stride and stride > 1:
             # coarse-grid surrogate: every stride-th query point per grid dim
             # in the trajectory gradient only (see BENCH_STRIDE comment)
             nt_g, nx_g = infer_grid_shape(trunk_x)
             subset = grid_stride_subset(nt_g, nx_g, stride)
+        fn_subset = None
+        if fn_stride and fn_stride > 1:
+            # function-stride surrogate: every fn_stride-th training function
+            # in the trajectory gradient (attacks the branch-cost floor the
+            # query stride leaves; see BENCH_FN_STRIDE comment)
+            fn_subset = np.arange(0, branch_x.shape[0], fn_stride)
         grad_full, _, _ = make_gram_grad_full(cfg, branch_x, trunk_x, y, 1.0,
-                                              query_subset=subset)
+                                              query_subset=subset,
+                                              fn_subset=fn_subset)
         sub_grad = make_subspace_grad(grad_full, spec, prior=prior)
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=spec.sub_sigma() ** 2)
@@ -611,6 +624,9 @@ def main():
     ap.add_argument("--stride", type=int, default=None,
                     help="coarse-grid surrogate stride for the trajectory "
                          f"gradient (default {BENCH_STRIDE}; 1 = full grid)")
+    ap.add_argument("--fn-stride", type=int, default=None,
+                    help="function-stride surrogate for the trajectory "
+                         f"gradient (default {BENCH_FN_STRIDE}; 1 = all fns)")
     ap.add_argument("--adaptive", action="store_true",
                     help="legacy round-1 adaptive config (hmc_nuts@0.55 from "
                          "step 1e-4) instead of the fixed jittered headline")
@@ -631,7 +647,7 @@ def main():
 
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
                              use_gram=not args.no_gram, adaptive=args.adaptive,
-                             stride=args.stride)
+                             stride=args.stride, fn_stride=args.fn_stride)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

@@ -136,17 +136,28 @@ VARIANTS = {
                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "F44": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F34 measured: wall 7.45-7.6s (NOT faster than F3's 7.3-7.4), accept
+    # 0.60, ESS/s 315-339 -> fn stride 3 is the sweet spot; the remaining
+    # floor is trunk+endpoints+scan overhead, not the branch.
+    # F3C48/F3C64: F3 at higher chain counts — the earlier 48/64-chain
+    # worker crashes were measured with FULL-GRID gradient footprints
+    # (variants M/S48); the dual-stride sampler's working set is far
+    # smaller, so the per-chip chain ceiling may have moved.
+    "F3C48": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                  sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "F3C64": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                  sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "C2": 600.0, "C3": 600.0, "C4": 600.0,
-             "F2": 600.0, "F3": 600.0, "F34": 600.0,
-             "F44": 600.0}  # preconditioned-norm clip
+             "F2": 600.0, "F3": 600.0, "F34": 600.0, "F44": 600.0,
+             "F3C48": 600.0, "F3C64": 600.0}  # preconditioned-norm clip
 COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
-                 "F34": 3, "F44": 4}
-FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4}
+                 "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3}
+FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4, "F3C48": 3, "F3C64": 3}
 FUSED_VALUE = {"L", "M"}
-CHAIN_OVERRIDE = {"M": 64, "S48": 48}
+CHAIN_OVERRIDE = {"M": 64, "S48": 48, "F3C48": 48, "F3C64": 64}
 SEGMENT = 120
 
 
