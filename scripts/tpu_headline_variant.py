@@ -147,17 +147,30 @@ VARIANTS = {
                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "F3C64": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F44 measured: 5.66-6.41s wall, accept 0.60-0.62, ESS/s 379-395 — the
+    # new best (with the branch cost stripped by fn-stride, query stride 4
+    # now pays where C4-alone did not). Deeper strides + chain probes:
+    "F55": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "F44C48": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "F44C64": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "C2": 600.0, "C3": 600.0, "C4": 600.0,
              "F2": 600.0, "F3": 600.0, "F34": 600.0, "F44": 600.0,
-             "F3C48": 600.0, "F3C64": 600.0}  # preconditioned-norm clip
+             "F3C48": 600.0, "F3C64": 600.0, "F55": 600.0,
+             "F44C48": 600.0, "F44C64": 600.0}  # preconditioned-norm clip
 COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
-                 "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3}
-FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4, "F3C48": 3, "F3C64": 3}
+                 "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3,
+                 "F55": 5, "F44C48": 4, "F44C64": 4}
+FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4, "F3C48": 3, "F3C64": 3,
+             "F55": 5, "F44C48": 4, "F44C64": 4}
 FUSED_VALUE = {"L", "M"}
-CHAIN_OVERRIDE = {"M": 64, "S48": 48, "F3C48": 48, "F3C64": 64}
+CHAIN_OVERRIDE = {"M": 64, "S48": 48, "F3C48": 48, "F3C64": 64,
+                  "F44C48": 48, "F44C64": 64}
 SEGMENT = 120
 
 
