@@ -156,19 +156,28 @@ VARIANTS = {
                    sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
     "F44C64": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                    sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F44C48 measured: 8.6s wall, ESS/s 356-400 — 48 chains NO LONGER
+    # crashes at the dual-stride footprint (the old 48/64 crashes were
+    # full-grid), but ESS/s is flat vs 32 (chain axis now compute-bound).
+    # F44L: F44 + the fused Pallas merge+NLL for the ENDPOINT density —
+    # with the trajectory stripped to strides, the composed endpoint eval
+    # (materializes (B,P) = 40 MB/chain) is the dominant HBM term left.
+    "F44L": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                 sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "C2": 600.0, "C3": 600.0, "C4": 600.0,
              "F2": 600.0, "F3": 600.0, "F34": 600.0, "F44": 600.0,
              "F3C48": 600.0, "F3C64": 600.0, "F55": 600.0,
-             "F44C48": 600.0, "F44C64": 600.0}  # preconditioned-norm clip
+             "F44C48": 600.0, "F44C64": 600.0,
+             "F44L": 600.0}  # preconditioned-norm clip
 COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
                  "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3,
-                 "F55": 5, "F44C48": 4, "F44C64": 4}
+                 "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4}
 FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4, "F3C48": 3, "F3C64": 3,
-             "F55": 5, "F44C48": 4, "F44C64": 4}
-FUSED_VALUE = {"L", "M"}
+             "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4}
+FUSED_VALUE = {"L", "M", "F44L"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48, "F3C48": 48, "F3C64": 64,
                   "F44C48": 48, "F44C64": 64}
 SEGMENT = 120
