@@ -13,9 +13,10 @@ docs/performance.md + scripts/tpu_headline_variant.py):
   acceptance 0.000 for hundreds of draws) drift home instead of poisoning
   the pooled ESS. Exact density at every trajectory endpoint keeps MH
   unbiased.
-* Coarse-grid surrogate for the trajectory gradient (``BENCH_STRIDE = 3``:
-  every 3rd point of the 101x101 query grid, likelihood rescaled by P/p) —
-  measured 4.5x the full-grid wall clock at unchanged pooled ESS
+* Dual-stride surrogate for the trajectory gradient (``BENCH_STRIDE = 5``,
+  ``BENCH_FN_STRIDE = 5``: every 5th point of the 101x101 query grid AND
+  every 5th of the 1000 training functions, likelihood rescaled) —
+  measured ~8x the full-grid wall clock at 72-75% pooled-ESS efficiency
   (docs/performance.md); the exact full-grid density at endpoints keeps MH
   unbiased for the true posterior.
 * Fixed step 0.12 (the d^-1/4 rule on the VI-preconditioned subspace) with
@@ -54,16 +55,19 @@ BENCH_L = 31
 BENCH_STEP = 0.12          # d^-1/4 scale for the 2048-dim preconditioned subspace
 BENCH_JITTER_LOW = 0.5     # trajectory length ~ U[L/2, L]
 BENCH_CLIP = 600.0         # preconditioned grad-norm clip (healthy scale 77-364)
-BENCH_STRIDE = 3           # coarse-grid surrogate trajectory gradient: every
-                           # 3rd point of the 101x101 query grid (1156 of
+BENCH_STRIDE = 5           # coarse-grid surrogate trajectory gradient: every
+                           # 5th point of the 101x101 query grid (441 of
                            # 10201, likelihood rescaled). Exact density at
-                           # endpoints keeps MH unbiased; measured ESS
-                           # unchanged at 3.8-4.7x the full-grid wall clock
-                           # (variants C2/C3, docs/performance.md)
-BENCH_FN_STRIDE = 1        # function-stride surrogate on the trajectory
-                           # gradient (1 = all 1000 training functions; set
-                           # by on-chip measurement of the F variants,
-                           # scripts/tpu_headline_variant.py)
+                           # endpoints keeps MH unbiased. Swept on-chip
+                           # (variants C2-C4, F2-F66 in
+                           # scripts/tpu_headline_variant.py): 5/5 is the
+                           # ESS/s frontier (acceptance 0.55, ESS 72-75% of
+                           # ceiling); 6/6 degrades ESS at equal wall.
+BENCH_FN_STRIDE = 5        # function-stride surrogate on the same gradient:
+                           # every 5th of the 1000 training functions —
+                           # attacks the branch-cost floor the query stride
+                           # leaves (F3 7.3s -> F44 5.7s -> F55 5.3s wall
+                           # for 120 draws x 32 chains)
 BENCH_KEYS = (2, 3, 4)     # headline = median ESS/s over these
 BENCH_TARGET_ACCEPT = 0.55  # legacy adaptive config (--adaptive)
 
@@ -157,8 +161,11 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         from vihmc_tpu.hmc import clipped_grad_fn, make_subspace_grad
         from vihmc_tpu.ops import grid_stride_subset, infer_grid_shape, make_gram_grad_full
 
-        stride = BENCH_STRIDE if stride is None else stride
-        fn_stride = BENCH_FN_STRIDE if fn_stride is None else fn_stride
+        # quick mode's tiny problem (16x16 grid, 32 fns) can't take the
+        # reference-scale strides — clamp its defaults to 2
+        stride = ((2 if quick else BENCH_STRIDE) if stride is None else stride)
+        fn_stride = ((2 if quick else BENCH_FN_STRIDE)
+                     if fn_stride is None else fn_stride)
         subset = None
         if stride and stride > 1:
             # coarse-grid surrogate: every stride-th query point per grid dim
