@@ -92,7 +92,11 @@ def main():
                                frozen_policy="refresh", vi_mass=True,
                                adapt_step_size=True, jitter_l=True,
                                jitter_low_frac=0.5, clip_grad=clip,
-                               coarse_stride=None if args.small else 3)
+                               coarse_stride=None if args.small else 3,
+                               # function-stride surrogate on top (F-variant
+                               # sweep, docs/performance.md): conservative 3
+                               # on the demo's 1000 training functions
+                               fn_stride=None if args.small else 3)
     artifacts = {"mu": sens["mu"], "sigma": sens["sigma"],
                  "indices": sens["indices"]}
     out = vi_hmc.run_operator(hmc_cfg, model, artifacts, key=key, data=data,
