@@ -164,6 +164,31 @@ VARIANTS = {
     # (materializes (B,P) = 40 MB/chain) is the dominant HBM term left.
     "F44L": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
                  sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F44L measured: 6.8-7.1s — the composed endpoint still wins in-scan
+    # (fused kernel serializes against the scan; consistent with the
+    # original fused-vs-composed finding). F55 measured: 5.3-5.4s wall,
+    # accept 0.55, ESS/s 420-427 — strides still paying at 5; F66 probes
+    # the next level (289 query pts, 167 fns).
+    "F66": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+                sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # Per-draw cost decomposition at F55 (scripts/tpu_draw_cost_breakdown.py):
+    # endpoint 2.1 ms x2, refresh 0.4, momentum 0.2 — but the stride-5/5
+    # gram step costs 0.90 ms despite ~3e8 FLOPs: the 36 sequential
+    # small-matmul ops per step ride a per-op latency floor. So trajectory
+    # cost is now ~linear in L at fixed per-step price -> try SHORTER
+    # trajectories (the old L sweep that chose 31 was priced at full-grid
+    # step cost, a completely different tradeoff).
+    "F55L15": dict(num_samples=120, num_leapfrog=15, burn=24, step_size=0.12,
+                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # F55L15 measured: 4.0-4.6s wall but ESS craters to 830-877 (vs
+    # 2216-2301 at L=31) -> 181-222 ESS/s. Shorter trajectories lose on
+    # autocorrelation; L=31 stands. (With the x32-chain factor the
+    # trajectory step is at ~15-25% MXU utilization — limited by the
+    # reference architecture's 100-wide layers vs the 128 MXU tile, not by
+    # op-dispatch — so F55@L31 is near the practical ceiling for this
+    # model shape.)
+    "F55L23": dict(num_samples=120, num_leapfrog=23, burn=24, step_size=0.12,
+                   sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
@@ -171,12 +196,15 @@ CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "F2": 600.0, "F3": 600.0, "F34": 600.0, "F44": 600.0,
              "F3C48": 600.0, "F3C64": 600.0, "F55": 600.0,
              "F44C48": 600.0, "F44C64": 600.0,
-             "F44L": 600.0}  # preconditioned-norm clip
+             "F44L": 600.0, "F66": 600.0,
+             "F55L15": 600.0, "F55L23": 600.0}  # preconditioned-norm clip
 COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
                  "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3,
-                 "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4}
+                 "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4, "F66": 6,
+                 "F55L15": 5, "F55L23": 5}
 FN_STRIDE = {"F2": 2, "F3": 3, "F34": 4, "F44": 4, "F3C48": 3, "F3C64": 3,
-             "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4}
+             "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4, "F66": 6,
+             "F55L15": 5, "F55L23": 5}
 FUSED_VALUE = {"L", "M", "F44L"}
 CHAIN_OVERRIDE = {"M": 64, "S48": 48, "F3C48": 48, "F3C64": 64,
                   "F44C48": 48, "F44C64": 64}
