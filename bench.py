@@ -33,10 +33,11 @@ re-implementation of the same HMC kernel. The reference's substrate is
 torch + hamiltorch on CPU/GPU; hamiltorch is not installable here, so the
 baseline times the same leapfrog/MH loop written directly in torch. The
 torch loop computes full-grid autodiff gradients — exactly what the
-reference substrate does; the jax sampler's coarse-grid surrogate (a
+reference substrate does; the jax sampler's dual-stride surrogate (a
 framework feature torch/hamiltorch lacks) is part of what is being
-benchmarked. Run ``--stride 1`` for the like-for-like full-grid trajectory
-(vs_baseline ~991x at identical per-draw gradient work).
+benchmarked. Run ``--stride 1 --fn-stride 1`` for the like-for-like
+full-grid trajectory (vs_baseline ~991x at identical per-draw gradient
+work).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -301,6 +302,30 @@ def bench_grad_path(quick: bool, iters: int = 30):
     return out
 
 
+def build_nn_problem(quick: bool = False):
+    """Shared NN-workload problem (bench_nn + the scripts/tpu_nn_* sweeps):
+    141-param tanh MLP, 20-point regression data, VI-style mu/sigma, and the
+    78-dim subspace the reference's 90% threshold selects. Returns
+    (mlp_cfg, apply_flat, x, y, mu, sigma, idx)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.data.synthetic import regression_data
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines.common import make_flat_mlp
+
+    mlp = MLPConfig()
+    apply_flat, flat0, _ = make_flat_mlp(mlp)
+    d = flat0.shape[0]
+    data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
+    sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
+    idx = np.sort(rng.choice(d, size=sub, replace=False))
+    return mlp, apply_flat, data["x_train"], data["y_train"], mu, sigma, idx
+
+
 def bench_nn(quick: bool, skip_baseline: bool = False):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
     subspace VI-HMC on the 141-param regression MLP (subspace 78/141 @ 90%
@@ -319,25 +344,12 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
     import jax.numpy as jnp
 
     from vihmc_tpu.chains import sample_chains, effective_sample_size_np
-    from vihmc_tpu.data.synthetic import regression_data
     from vihmc_tpu.dists.likelihoods import get_likelihood
     from vihmc_tpu.dists.priors import DiagonalGaussianPrior
     from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
                                make_subspace_log_prob)
-    from vihmc_tpu.models import MLPConfig
-    from vihmc_tpu.pipelines.common import make_flat_mlp
 
-    mlp = MLPConfig()
-    apply_flat, flat0, _ = make_flat_mlp(mlp)
-    d = flat0.shape[0]
-    data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
-    x, y = data["x_train"], data["y_train"]
-
-    rng = np.random.default_rng(0)
-    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
-    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
-    sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
-    idx = np.sort(rng.choice(d, size=sub, replace=False))
+    mlp, apply_flat, x, y, mu, sigma, idx = build_nn_problem(quick)
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
 
@@ -408,6 +420,52 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
     return stats
 
 
+def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
+                      n_samples, max_seconds):
+    """Time the torch-CPU HMC loop shared by both workload baselines.
+
+    Identical kernel semantics to the jax sampler (vihmc_tpu/hmc/kernel.py):
+    frozen-coordinate refresh each draw, momentum ~ N(0, M) with
+    M = 1/inv_mass, L leapfrog steps, MH accept. Reports the MEDIAN per-draw
+    time so transient host contention doesn't skew the baseline either way.
+    """
+    import statistics
+
+    import torch
+
+    def grad_lp(q, frozen):
+        q = q.detach().requires_grad_(True)
+        lp = log_prob(q, frozen)
+        (g,) = torch.autograd.grad(lp, q)
+        return lp.detach(), g
+
+    q = q0.clone()
+    n_done = 0
+    draw_times = []
+    t0 = time.perf_counter()
+    while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
+        td = time.perf_counter()
+        frozen = draw_frozen()  # refresh policy
+        lp0, g = grad_lp(q, frozen)
+        p = torch.randn_like(q) / inv_mass.sqrt()
+        q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
+        lp1 = lp0
+        for _ in range(L):
+            p_new = p_new + 0.5 * step * g_new
+            q_new = q_new + step * inv_mass * p_new
+            lp1, g_new = grad_lp(q_new, frozen)
+            p_new = p_new + 0.5 * step * g_new
+        delta = (lp1 - 0.5 * (inv_mass * p_new * p_new).sum()) - \
+                (lp0 - 0.5 * (inv_mass * p * p).sum())
+        if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
+            q = q_new
+        n_done += 1
+        draw_times.append(time.perf_counter() - td)
+    per_draw = statistics.median(draw_times) if draw_times else float("inf")
+    return {"elapsed_s": time.perf_counter() - t0,
+            "samples_per_s": 1.0 / per_draw, "draws": n_done}
+
+
 def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
                             ref_forward=None, max_seconds: float = 120.0):
     """Identical NN posterior + kernel in torch on CPU (reference substrate).
@@ -468,42 +526,9 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
         pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
         return ll + pr
 
-    q = mu_t[idx_t].clone()
-    frozen = mu_t.clone()
-    inv_mass = sigma_t[idx_t] ** 2
-
-    def grad_lp(q):
-        q = q.detach().requires_grad_(True)
-        lp = log_prob(q, frozen)
-        (g,) = torch.autograd.grad(lp, q)
-        return lp.detach(), g
-
-    n_done = 0
-    draw_times = []
-    t0 = time.perf_counter()
-    while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
-        td = time.perf_counter()
-        frozen = mu_t + sigma_t * torch.randn_like(mu_t)  # refresh policy
-        lp0, g = grad_lp(q)
-        p = torch.randn_like(q) / inv_mass.sqrt()
-        q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
-        lp1 = lp0
-        for _ in range(L):
-            p_new = p_new + 0.5 * step * g_new
-            q_new = q_new + step * inv_mass * p_new
-            lp1, g_new = grad_lp(q_new)
-            p_new = p_new + 0.5 * step * g_new
-        delta = (lp1 - 0.5 * (inv_mass * p_new * p_new).sum()) - \
-                (lp0 - 0.5 * (inv_mass * p * p).sum())
-        if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
-            q = q_new
-        n_done += 1
-        draw_times.append(time.perf_counter() - td)
-    import statistics
-
-    per_draw = statistics.median(draw_times) if draw_times else float("inf")
-    return {"elapsed_s": time.perf_counter() - t0,
-            "samples_per_s": 1.0 / per_draw, "draws": n_done}
+    return _torch_hmc_timing(
+        log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
+        mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds)
 
 
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
@@ -570,45 +595,11 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
         pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
         return ll + pr
 
-    q = mu_t[idx_t].clone()
-    frozen = mu_t.clone()
-    step, L = 1e-4, BENCH_L  # same trajectory cost as the jax headline
-    inv_mass = (sigma_t[idx_t] ** 2)
-
-    def grad_lp(q):
-        q = q.detach().requires_grad_(True)
-        lp = log_prob(q, frozen)
-        (g,) = torch.autograd.grad(lp, q)
-        return lp.detach(), g
-
-    # time full HMC draws until max_seconds; report the MEDIAN per-draw time
-    # so transient host contention doesn't skew the baseline either way
-    n_done = 0
-    draw_times = []
-    t0 = time.perf_counter()
-    lp0, g = grad_lp(q)
-    while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
-        td = time.perf_counter()
-        frozen = mu_t + sigma_t * torch.randn_like(mu_t)  # refresh policy
-        lp0, g = grad_lp(q)
-        p = torch.randn_like(q) / inv_mass.sqrt()
-        q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
-        for _ in range(L):
-            p_new = p_new + 0.5 * step * g_new
-            q_new = q_new + step * inv_mass * p_new
-            lp1, g_new = grad_lp(q_new)
-            p_new = p_new + 0.5 * step * g_new
-        delta = (lp1 - 0.5 * (inv_mass * p_new * p_new).sum()) - \
-                (lp0 - 0.5 * (inv_mass * p * p).sum())
-        if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
-            q = q_new
-        n_done += 1
-        draw_times.append(time.perf_counter() - td)
-    elapsed = time.perf_counter() - t0
-    import statistics
-
-    per_draw = statistics.median(draw_times) if draw_times else float("inf")
-    return {"elapsed_s": elapsed, "samples_per_s": 1.0 / per_draw, "draws": n_done}
+    # same trajectory cost (L leapfrog steps per draw) as the jax headline
+    return _torch_hmc_timing(
+        log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
+        mu_t[idx_t], sigma_t[idx_t] ** 2, 1e-4, BENCH_L, n_samples,
+        max_seconds)
 
 
 def main():
@@ -638,6 +629,10 @@ def main():
                     help="legacy round-1 adaptive config (hmc_nuts@0.55 from "
                          "step 1e-4) instead of the fixed jittered headline")
     args = ap.parse_args()
+    if args.no_gram and (args.stride or args.fn_stride):
+        # same contract as the pipeline (vihmc_tpu/pipelines/vi_hmc.py)
+        ap.error("--stride/--fn-stride require the Gram trajectory-gradient "
+                 "path (drop --no-gram)")
 
     if args.workload == "nn":
         nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline)

@@ -20,30 +20,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from bench import build_nn_problem
 from vihmc_tpu.chains import sample_chains, effective_sample_size_np
-from vihmc_tpu.data.synthetic import regression_data
 from vihmc_tpu.dists.likelihoods import get_likelihood
 from vihmc_tpu.dists.priors import DiagonalGaussianPrior
 from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
                            clipped_grad_fn, make_subspace_log_prob)
-from vihmc_tpu.models import MLPConfig
-from vihmc_tpu.pipelines.common import make_flat_mlp
 
 STEPS = (0.1, 0.2, 0.3)
 LS = (8, 16, 32)
 
 
 def main(n_chains=256):
-    mlp = MLPConfig()
-    apply_flat, flat0, _ = make_flat_mlp(mlp)
-    d = flat0.shape[0]
-    data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
-    x, y = data["x_train"], data["y_train"]
-
-    rng = np.random.default_rng(0)
-    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
-    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
-    idx = np.sort(rng.choice(d, size=78, replace=False))
+    _, apply_flat, x, y, mu, sigma, idx = build_nn_problem()
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
 

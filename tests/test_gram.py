@@ -563,8 +563,11 @@ def test_coarse_stride_surrogate_stays_statistically_exact():
     trajectory gradients and (b) the stride-2 surrogate must produce the
     same posterior moments within MC error — the surrogate only shapes the
     proposal; the accept step uses the exact full-grid density. This is the
-    statistical guarantee the headline bench configuration (BENCH_STRIDE=3)
-    rests on, complementing the gradient-level checks above."""
+    statistical guarantee the headline bench configuration (dual stride-5
+    query/function surrogate, bench.BENCH_STRIDE/BENCH_FN_STRIDE) rests on;
+    the same argument covers the function-stride axis (a fixed fn subset is
+    also a deterministic field), complementing the gradient-level checks
+    above."""
     from vihmc_tpu.ops import grid_stride_subset
 
     rng = np.random.default_rng(17)
