@@ -189,7 +189,20 @@ VARIANTS = {
     # model shape.)
     "F55L23": dict(num_samples=120, num_leapfrog=23, burn=24, step_size=0.12,
                    sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    # G: the logical extreme of the surrogate-field family (cf. latent-HNN /
+    # NN-gradient-HMC, PAPERS.md): the trajectory field is the VI Gaussian's
+    # score -(q - mu)/(alpha sigma^2) — ZERO likelihood cost per leapfrog
+    # step; the exact full density at endpoints keeps MH unbiased. Works
+    # iff the VI-preconditioned conditional posterior is Gaussian enough
+    # for 31-step trajectories. alpha: G=1.0, G5=0.5 (likelihood sharpens
+    # the posterior past the prior/VI scale, so a stiffer field may track
+    # better).
+    "G": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+              sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
+    "G5": dict(num_samples=120, num_leapfrog=31, burn=24, step_size=0.12,
+               sampler="hmc", jitter_l=True, jitter_low_frac=0.5),
 }
+GAUSS_FIELD = {"G": 1.0, "G5": 0.5}  # alpha: field = -(q-mu)/(alpha sigma^2)
 DRAW_POLICY = {"Q", "Q360", "R360"}  # frozen-at-draw target + VI-draw inits
 CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "C2": 600.0, "C3": 600.0, "C4": 600.0,
@@ -197,7 +210,8 @@ CLIP_GRAD = {"S": 600.0, "S360": 600.0, "S48": 600.0,
              "F3C48": 600.0, "F3C64": 600.0, "F55": 600.0,
              "F44C48": 600.0, "F44C64": 600.0,
              "F44L": 600.0, "F66": 600.0,
-             "F55L15": 600.0, "F55L23": 600.0}  # preconditioned-norm clip
+             "F55L15": 600.0, "F55L23": 600.0,
+             "G": 600.0, "G5": 600.0}  # preconditioned-norm clip
 COARSE_STRIDE = {"C2": 2, "C3": 3, "C4": 4, "F2": 3, "F3": 3,
                  "F34": 3, "F44": 4, "F3C48": 3, "F3C64": 3,
                  "F55": 5, "F44C48": 4, "F44C64": 4, "F44L": 4, "F66": 6,
@@ -246,10 +260,17 @@ def main(name, keys=(2, 3, 4)):
     fn_subset = None
     if name in FN_STRIDE:
         fn_subset = np.arange(0, bx.shape[0], FN_STRIDE[name])
-    grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0,
-                                          query_subset=subset,
-                                          fn_subset=fn_subset)
-    gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
+    if name in GAUSS_FIELD:
+        alpha = GAUSS_FIELD[name]
+        inv_var = 1.0 / (alpha * spec.sub_sigma() ** 2)
+
+        def gram_grad(q, aux):
+            return -(q - spec.sub_mu()) * inv_var
+    else:
+        grad_full, _, _ = make_gram_grad_full(cfg, bx, tx, y, 1.0,
+                                              query_subset=subset,
+                                              fn_subset=fn_subset)
+        gram_grad = make_subspace_grad(grad_full, spec, prior=prior)
     if name in CLIP_GRAD:
         from vihmc_tpu.hmc import clipped_grad_fn
 
