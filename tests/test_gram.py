@@ -623,6 +623,79 @@ def test_coarse_stride_surrogate_stays_statistically_exact():
     np.testing.assert_allclose(s_coarse, s_exact, rtol=0.25)
 
 
+def test_gaussian_field_stays_exact_on_non_gaussian_target():
+    """The VI-Gaussian trajectory field (hmc.gaussian_field_grad) on a
+    NON-Gaussian target: proposals come from harmonic trajectories around a
+    WRONG (Gaussian) approximation, yet MH on the exact density must still
+    recover the true moments. Target: product of gamma-like densities
+    log p = sum(a*q - exp(q)) (log-gamma; mean digamma(a), skewed), with
+    the field centered at a moment-matched Gaussian."""
+    from scipy.special import digamma, polygamma
+
+    from vihmc_tpu.hmc import gaussian_field_grad
+
+    a = jnp.asarray([2.0, 5.0, 10.0])
+    true_mean = digamma(np.asarray(a))
+    true_var = polygamma(1, np.asarray(a))
+
+    def lp(q):
+        return jnp.sum(a * q - jnp.exp(q))
+
+    field = gaussian_field_grad(jnp.asarray(true_mean, jnp.float32),
+                                jnp.asarray(true_var ** 0.5, jnp.float32))
+    cfg = HMCConfig(num_samples=3000, num_leapfrog=8, step_size=0.5,
+                    jitter_l=True, jitter_low_frac=0.5)
+    inits = jnp.tile(jnp.asarray(true_mean, jnp.float32)[None], (8, 1))
+    res = sample_chains(lp, inits, jax.random.key(11), cfg,
+                        inv_mass=jnp.asarray(true_var, jnp.float32),
+                        grad_fn=field)
+    assert float(res.acceptance_rate) > 0.3
+    post = np.asarray(res.samples)[:, 1000:, :].reshape(-1, 3)
+    np.testing.assert_allclose(post.mean(axis=0), true_mean,
+                               atol=0.1 * true_var.max() ** 0.5)
+    np.testing.assert_allclose(post.var(axis=0), true_var, rtol=0.15)
+    # the skewness of log-gamma must survive (a pure Gaussian sampler that
+    # ignored MH would erase it): third central moment is negative
+    third = ((post - post.mean(0)) ** 3).mean(0)
+    assert (third < 0).all()
+
+
+def test_pipeline_gauss_field_option():
+    """VIHMCRunConfig.gauss_field flows through both pipelines and is
+    rejected in combination with the Gram strides."""
+    import dataclasses as dc
+
+    from vihmc_tpu.data.burgers import get_burgers
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines import vi_hmc
+    from vihmc_tpu.pipelines.configs import VIHMCRunConfig
+
+    dcfg = dataclasses.replace(SMALL, in_branch=12)
+    train, valid = get_burgers(jax.random.key(0), 6, 6, None, nx=12, nt=9)
+    apply_flat, flat0, _ = make_flat_deeponet(dcfg)
+    rng = np.random.default_rng(0)
+    d = flat0.shape[0]
+    arts = {"mu": jnp.asarray(0.05 * rng.normal(size=d), jnp.float32),
+            "sigma": jnp.asarray(0.01 + 0.02 * rng.random(d), jnp.float32),
+            "indices": np.sort(rng.choice(d, size=24, replace=False))}
+    cfg = VIHMCRunConfig(num_samples=20, num_chains=2, step_size=0.1,
+                         num_leapfrog=4, jitter_l=True, jitter_low_frac=0.5,
+                         gauss_field=1.0, vi_mass=True)
+    out = vi_hmc.run_operator(cfg, dcfg, arts, key=jax.random.key(1),
+                              data=(train, valid))
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
+    with pytest.raises(ValueError):
+        vi_hmc.run_operator(dc.replace(cfg, coarse_stride=2), dcfg, arts,
+                            key=jax.random.key(1), data=(train, valid))
+    mlp = MLPConfig()
+    d_nn = mlp.num_params
+    arts_nn = {"mu": jnp.asarray(0.05 * rng.normal(size=d_nn), jnp.float32),
+               "sigma": jnp.asarray(0.01 + 0.02 * rng.random(d_nn), jnp.float32),
+               "indices": np.sort(rng.choice(d_nn, size=16, replace=False))}
+    out_nn = vi_hmc.run_nn(cfg, mlp, arts_nn, key=jax.random.key(1))
+    assert np.isfinite(np.asarray(out_nn["result"].samples)).all()
+
+
 def test_pipeline_clip_and_jitter_options():
     """VIHMCRunConfig.clip_grad / jitter_l flow through run_operator."""
     import dataclasses as dc

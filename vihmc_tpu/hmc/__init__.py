@@ -1,5 +1,6 @@
 from vihmc_tpu.hmc.kernel import (
     clipped_grad_fn,
+    gaussian_field_grad,
     HMCConfig,
     HMCState,
     SampleResult,
@@ -30,6 +31,7 @@ def predict_model(*args, **kwargs):
 
 __all__ = [
     "clipped_grad_fn",
+    "gaussian_field_grad",
     "HMCConfig",
     "HMCState",
     "SampleResult",

@@ -344,6 +344,35 @@ def clipped_grad_fn(base, max_norm: float, inv_mass=1.0, is_grad: bool = True):
     return gfn
 
 
+def gaussian_field_grad(mu, sigma, alpha: float = 1.0):
+    """Gaussian-score trajectory field: ``-(q - mu) / (alpha * sigma^2)``.
+
+    The logical extreme of the surrogate trajectory-gradient family
+    (cf. the coarse-grid/function-stride surrogates in
+    :mod:`vihmc_tpu.ops.gram_merge` and the surrogate-gradient HMC
+    literature): the leapfrog field is the score of ``N(mu, alpha sigma^2)``
+    — e.g. the VI posterior over the sensitive subspace — so a trajectory
+    costs ZERO likelihood evaluations. Used as the kernel's ``grad_fn``,
+    the exact density at trajectory endpoints keeps MH unbiased for the
+    true posterior (deterministic field -> reversible, volume-preserving
+    leapfrog); only acceptance degrades where the posterior departs from
+    the Gaussian.
+
+    Measured on the reference-scale DeepONet headline posterior (variant G,
+    docs/performance.md): acceptance 0.49, pooled ESS 2500-2598 of 3072 —
+    4.5x the dual-stride surrogate's ESS/s. ``alpha`` stiffens (<1) or
+    relaxes (>1) the field relative to ``sigma``; compose with
+    :func:`clipped_grad_fn` if tail robustness is needed (the pure Gaussian
+    field is already bounded-drift, so the clip rarely binds).
+    """
+    inv_var = 1.0 / (alpha * sigma ** 2)
+
+    def grad(q, aux=None):
+        return -(q - mu) * inv_var
+
+    return grad
+
+
 def make_kernel(
     log_prob_fn: Callable,
     config: HMCConfig,

@@ -98,6 +98,10 @@ def build_parser():
                    help="function-stride surrogate trajectory gradient: keep "
                         "every stride-th training function (rescaled; exact "
                         "density at endpoints; composes with --coarse-stride)")
+    p.add_argument("--gauss-field", type=float, default=None,
+                   help="VI-Gaussian trajectory field with this alpha (zero "
+                        "likelihood cost per leapfrog step; exact density at "
+                        "endpoints keeps MH unbiased; 1.0 recommended)")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
@@ -215,7 +219,8 @@ def main(argv=None):
                                          else None),
                         clip_grad=args.clip_grad,
                         coarse_stride=args.coarse_stride,
-                        fn_stride=args.fn_stride)
+                        fn_stride=args.fn_stride,
+                        gauss_field=args.gauss_field)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
                                 key=key, store=store)

@@ -151,6 +151,15 @@ class VIHMCRunConfig:
                                      # coarse_stride. Exact density at
                                      # endpoints keeps MH unbiased; operator
                                      # gram path only
+    gauss_field: Optional[float] = None  # VI-Gaussian TRAJECTORY field:
+                                     # leapfrog on the score of
+                                     # N(mu[idx], alpha*sigma[idx]^2) — zero
+                                     # likelihood cost per step, exact
+                                     # density at endpoints (alpha = this
+                                     # value; 1.0 recommended). Model-
+                                     # agnostic; plain HMC/ChEES only;
+                                     # mutually exclusive with the Gram
+                                     # oracle (coarse_stride/fn_stride)
     max_step: Optional[float] = None  # clamp the adapted step actually used
 
     @property

@@ -169,9 +169,20 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         if cfg.algorithm not in ("hmc", "chees") or subsample is not None:
             raise ValueError("full_grad requires algorithm='hmc' or 'chees' "
                              "and no query subsampling")
+        if cfg.gauss_field is not None:
+            raise ValueError("gauss_field and a full_grad oracle are "
+                             "mutually exclusive trajectory fields")
         from vihmc_tpu.hmc import make_subspace_grad
 
         grad_fn = make_subspace_grad(full_grad, spec, prior=prior)
+    elif cfg.gauss_field is not None:
+        if cfg.algorithm not in ("hmc", "chees"):
+            raise ValueError("gauss_field requires algorithm='hmc' or "
+                             "'chees'")
+        from vihmc_tpu.hmc import gaussian_field_grad
+
+        grad_fn = gaussian_field_grad(spec.sub_mu(), spec.sub_sigma(),
+                                      cfg.gauss_field)
 
     if subsample is not None:
         like = get_likelihood(cfg.loss)
@@ -378,9 +389,14 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
     gram_eligible = (cfg.algorithm == "hmc" and cfg.loss == "NLL"
                      and subsample is None
                      and not deeponet_cfg.noise_neurons
-                     and train_split["trunk_in"].ndim == 2)
+                     and train_split["trunk_in"].ndim == 2
+                     and cfg.gauss_field is None)
     full_grad = None
-    if use_gram or (use_gram is None and gram_eligible):
+    if cfg.gauss_field is not None and (cfg.coarse_stride or cfg.fn_stride):
+        raise ValueError("gauss_field replaces the Gram trajectory oracle; "
+                         "drop coarse_stride/fn_stride")
+    if (use_gram and cfg.gauss_field is None) or \
+            (use_gram is None and gram_eligible):
         from vihmc_tpu.ops.gram_merge import (grid_stride_subset,
                                               infer_grid_shape,
                                               make_gram_grad_full)
