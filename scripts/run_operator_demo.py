@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--out", default="runs/demo")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--draws", type=int, default=None)
+    ap.add_argument("--gauss-field", action="store_true",
+                    help="VI-Gaussian trajectory field instead of the "
+                         "dual-stride Gram oracle (fixed d^-1/4 step; "
+                         "zero likelihood cost per leapfrog step)")
     args = ap.parse_args()
 
     from vihmc_tpu.models import DeepONetConfig
@@ -85,18 +89,29 @@ def main():
     # gradient clip from the ESS-variance investigation (docs/performance.md)
     # — the previous demo's R-hat 4.8 / ESS 20 came from tail-trapped chains
     clip = 13.0 * sens["num_sensitive"] ** 0.5
-    hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=1e-4,
-                               post_std=0.0214, num_chains=chains,
-                               num_leapfrog=31, target_accept=0.65,
-                               loss="NLL", tau_out=1.0,
-                               frozen_policy="refresh", vi_mass=True,
-                               adapt_step_size=True, jitter_l=True,
-                               jitter_low_frac=0.5, clip_grad=clip,
-                               coarse_stride=None if args.small else 3,
-                               # function-stride surrogate on top (F-variant
-                               # sweep, docs/performance.md): conservative 3
-                               # on the demo's 1000 training functions
-                               fn_stride=None if args.small else 3)
+    if args.gauss_field:
+        # VI-Gaussian trajectory field: fixed step at the d^-1/4 scale of
+        # the VI-preconditioned subspace (bench calibration: 0.12 at
+        # d=2048 -> c ~ 0.8)
+        step = 0.8 * sens["num_sensitive"] ** -0.25
+        hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=step,
+                                   post_std=0.0214, num_chains=chains,
+                                   num_leapfrog=31, loss="NLL", tau_out=1.0,
+                                   frozen_policy="refresh", vi_mass=True,
+                                   jitter_l=True, jitter_low_frac=0.5,
+                                   gauss_field=1.0)
+    else:
+        hmc_cfg = C.VIHMCRunConfig(num_samples=draws, step_size=1e-4,
+                                   post_std=0.0214, num_chains=chains,
+                                   num_leapfrog=31, target_accept=0.65,
+                                   loss="NLL", tau_out=1.0,
+                                   frozen_policy="refresh", vi_mass=True,
+                                   adapt_step_size=True, jitter_l=True,
+                                   jitter_low_frac=0.5, clip_grad=clip,
+                                   coarse_stride=None if args.small else 3,
+                                   # function-stride surrogate on top
+                                   # (F-variant sweep, docs/performance.md)
+                                   fn_stride=None if args.small else 3)
     artifacts = {"mu": sens["mu"], "sigma": sens["sigma"],
                  "indices": sens["indices"]}
     out = vi_hmc.run_operator(hmc_cfg, model, artifacts, key=key, data=data,
