@@ -7,25 +7,30 @@ DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims).
 Headline configuration (round-1 final; sweep history in
 docs/performance.md + scripts/tpu_headline_variant.py):
 
-* Gram-form trajectory gradients with a preconditioned norm clip — no
-  (B, P) prediction matrix in the leapfrog hot loop (1.37x wall clock), and
-  chains trapped in far tails (measured |grad| 120x the healthy scale,
-  acceptance 0.000 for hundreds of draws) drift home instead of poisoning
-  the pooled ESS. Exact density at every trajectory endpoint keeps MH
-  unbiased.
-* Dual-stride surrogate for the trajectory gradient (``BENCH_STRIDE = 5``,
-  ``BENCH_FN_STRIDE = 5``: every 5th point of the 101x101 query grid AND
-  every 5th of the 1000 training functions, likelihood rescaled) —
-  measured ~8x the full-grid wall clock at 72-75% pooled-ESS efficiency
-  (docs/performance.md); the exact full-grid density at endpoints keeps MH
-  unbiased for the true posterior.
+* **VI-Gaussian trajectory field** (variant G; ``hmc.gaussian_field_grad``):
+  the leapfrog field is the VI posterior's score ``-(q - mu)/sigma^2`` over
+  the sensitive subspace — ZERO likelihood evaluations per leapfrog step.
+  The exact full-grid density at trajectory endpoints decides MH, so the
+  sampler remains unbiased for the true posterior (a deterministic field
+  gives a reversible, volume-preserving leapfrog; statistical exactness
+  test in tests/test_gram.py). Composed with the preconditioned norm clip
+  (rarely binds — the Gaussian field is bounded-drift by design).
 * Fixed step 0.12 (the d^-1/4 rule on the VI-preconditioned subspace) with
   trajectory length jittered uniformly over [L/2, L], L=31 — jitter kills
   the fixed-L resonances that made frozen-dual-averaging ESS swing ~10x
   across PRNG keys.
 * The reported value is the MEDIAN ESS/s over three PRNG keys (measured
-  per-key pooled ESS at this config: 2500-3200 of the 3072 ceiling —
-  reproducible across keys).
+  per-key pooled ESS at this config: ~2500 of the 3072 ceiling at
+  acceptance ~0.49, reproducible across keys; per-key ESS/s 1097/1531/2314
+  — the spread is wall-clock jitter on this tunnel backend, not ESS).
+
+Fallback trajectory fields, in decreasing ESS/s (all use the same exact-MH
+endpoints): ``--stride 5 --fn-stride 5`` — the dual-stride Gram surrogate
+(400.6 ESS/s; every 5th query point AND every 5th training function,
+rescaled), the previous headline, which is the right tool when the VI fit
+is too poor for the Gaussian field's acceptance to survive;
+``--stride 1 --fn-stride 1`` — full-grid Gram gradients (67.8 ESS/s);
+``--no-gram`` — plain autodiff through the composed likelihood.
 
 ``vs_baseline`` is the sampling-throughput ratio (draws/s on the same
 posterior at the same trajectory length) against a faithful torch-CPU
@@ -33,11 +38,11 @@ re-implementation of the same HMC kernel. The reference's substrate is
 torch + hamiltorch on CPU/GPU; hamiltorch is not installable here, so the
 baseline times the same leapfrog/MH loop written directly in torch. The
 torch loop computes full-grid autodiff gradients — exactly what the
-reference substrate does; the jax sampler's dual-stride surrogate (a
-framework feature torch/hamiltorch lacks) is part of what is being
-benchmarked. Run ``--stride 1 --fn-stride 1`` for the like-for-like
-full-grid trajectory (vs_baseline ~991x at identical per-draw gradient
-work).
+reference substrate does; the jax sampler's surrogate trajectory fields (a
+framework feature torch/hamiltorch lacks) are part of what is being
+benchmarked, which is why the headline ratio is ~1.9e5. Run
+``--stride 1 --fn-stride 1`` for the like-for-like full-grid trajectory
+(vs_baseline ~991x at identical per-draw gradient work).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -69,6 +74,11 @@ BENCH_FN_STRIDE = 5        # function-stride surrogate on the same gradient:
                            # attacks the branch-cost floor the query stride
                            # leaves (F3 7.3s -> F44 5.7s -> F55 5.3s wall
                            # for 120 draws x 32 chains)
+BENCH_GAUSS_ALPHA = 1.0    # headline trajectory field: the VI-Gaussian score
+                           # -(q - mu)/(alpha sigma^2) — zero likelihood cost
+                           # per leapfrog step, exact MH at endpoints. Alpha
+                           # swept on-chip (G=1.0 accept 0.49 / G5=0.5, see
+                           # docs/performance.md); 1.0 is the headline.
 BENCH_KEYS = (2, 3, 4)     # headline = median ESS/s over these
 BENCH_TARGET_ACCEPT = 0.55  # legacy adaptive config (--adaptive)
 
@@ -113,7 +123,7 @@ def build_problem(quick: bool, compute_dtype=None, draws=None):
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               draws=None, burn=None, use_gram: bool = True,
               adaptive: bool = False, keys=None, stride=None,
-              fn_stride=None):
+              fn_stride=None, gauss_alpha=None):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -154,7 +164,22 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         return lp_like(q, aux) + prior.log_prob(q)
 
     grad_fn = None
-    if use_gram and compute_dtype is None:
+    if gauss_alpha is not None and compute_dtype is None:
+        # VI-Gaussian trajectory field (variant G in
+        # scripts/tpu_headline_variant.py; hmc.gaussian_field_grad): the
+        # leapfrog field is the VI posterior's score -(q - mu)/(alpha sigma^2)
+        # — ZERO likelihood cost per leapfrog step; the exact full-grid
+        # density at trajectory endpoints keeps MH unbiased for the true
+        # posterior (statistical exactness test: tests/test_gram.py).
+        # Composed with the same preconditioned norm clip as the Gram path
+        # (rarely binds — the Gaussian field is bounded-drift by design).
+        from vihmc_tpu.hmc import clipped_grad_fn, gaussian_field_grad
+
+        field = gaussian_field_grad(spec.sub_mu(), spec.sub_sigma(),
+                                    gauss_alpha)
+        clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
+        grad_fn = clipped_grad_fn(field, clip, inv_mass=spec.sub_sigma() ** 2)
+    elif use_gram and compute_dtype is None:
         # Gram-form trajectory gradient (no (B, P) array in the leapfrog hot
         # loop; exact density at every trajectory endpoint) with the
         # preconditioned norm clip that frees tail-trapped chains
@@ -247,15 +272,21 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         samples = np.asarray(res.samples)
         elapsed = time.perf_counter() - t0
         ess = effective_sample_size_np(samples[:, n_burn:, :])
-        per_key.append({
+        stats_k = {
             "key": k,
             "elapsed_s": elapsed,
             "samples_per_s": n_chains * n_samples / elapsed,
-            "grad_evals_per_s": n_chains * n_samples * (BENCH_L + 1) / elapsed,
             "ess_median": float(np.median(ess)),
             "ess_per_s": float(np.median(ess)) / elapsed,
             "acceptance": float(res.acceptance_rate),
-        })
+        }
+        if gauss_alpha is None:
+            # (L+1) likelihood-gradient evals per draw; under the Gaussian
+            # field the trajectory costs zero likelihood evals, so the
+            # counter would be meaningless
+            stats_k["grad_evals_per_s"] = \
+                n_chains * n_samples * (BENCH_L + 1) / elapsed
+        per_key.append(stats_k)
 
     # headline = the median-ESS/s key's full stats (robust to per-key luck)
     per_key.sort(key=lambda s: s["ess_per_s"])
@@ -628,11 +659,25 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="legacy round-1 adaptive config (hmc_nuts@0.55 from "
                          "step 1e-4) instead of the fixed jittered headline")
+    ap.add_argument("--gauss-field", type=float, nargs="?", const=1.0,
+                    default=None, metavar="ALPHA",
+                    help="VI-Gaussian trajectory field -(q-mu)/(ALPHA sigma^2)"
+                         " (zero likelihood cost per leapfrog step, exact MH "
+                         "at endpoints; default ALPHA=1.0). Replaces the "
+                         "Gram/stride trajectory oracle.")
     args = ap.parse_args()
     if args.no_gram and (args.stride or args.fn_stride):
         # same contract as the pipeline (vihmc_tpu/pipelines/vi_hmc.py)
         ap.error("--stride/--fn-stride require the Gram trajectory-gradient "
                  "path (drop --no-gram)")
+    if args.gauss_field is not None and (args.stride or args.fn_stride):
+        ap.error("--gauss-field replaces the Gram trajectory oracle; "
+                 "--stride/--fn-stride do not apply")
+    if args.gauss_field is None and not (args.stride or args.fn_stride
+                                         or args.no_gram or args.adaptive):
+        # headline default: the VI-Gaussian trajectory field (docstring);
+        # any explicit trajectory-field flag opts out
+        args.gauss_field = BENCH_GAUSS_ALPHA
 
     if args.workload == "nn":
         nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline)
@@ -649,7 +694,8 @@ def main():
 
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
                              use_gram=not args.no_gram, adaptive=args.adaptive,
-                             stride=args.stride, fn_stride=args.fn_stride)
+                             stride=args.stride, fn_stride=args.fn_stride,
+                             gauss_alpha=args.gauss_field)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

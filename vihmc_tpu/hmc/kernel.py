@@ -359,8 +359,9 @@ def gaussian_field_grad(mu, sigma, alpha: float = 1.0):
     the Gaussian.
 
     Measured on the reference-scale DeepONet headline posterior (variant G,
-    docs/performance.md): acceptance 0.49, pooled ESS 2500-2598 of 3072 —
-    4.5x the dual-stride surrogate's ESS/s. ``alpha`` stiffens (<1) or
+    docs/performance.md; now the ``bench.py`` headline): acceptance 0.49,
+    pooled ESS 2500-2598 of 3072 at ~1/4 the dual-stride surrogate's wall
+    clock — 1530.6 ESS/s/chip median. ``alpha`` stiffens (<1) or
     relaxes (>1) the field relative to ``sigma``; compose with
     :func:`clipped_grad_fn` if tail robustness is needed (the pure Gaussian
     field is already bounded-drift, so the clip rarely binds).
