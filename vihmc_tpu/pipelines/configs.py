@@ -160,6 +160,17 @@ class VIHMCRunConfig:
                                      # agnostic; plain HMC/ChEES only;
                                      # mutually exclusive with the Gram
                                      # oracle (coarse_stride/fn_stride)
+                                     # unless gauss_field_auto is set
+    gauss_field_auto: bool = False   # probe the VI-Gaussian field for
+                                     # gauss_field_probe_draws before
+                                     # sampling: keep it if its MH
+                                     # acceptance >= gauss_field_floor, else
+                                     # fall back to the otherwise-configured
+                                     # trajectory field (Gram/stride or
+                                     # autodiff). Plain HMC only; the probe
+                                     # costs one extra compiled scan
+    gauss_field_floor: float = 0.35  # acceptance floor for the auto probe
+    gauss_field_probe_draws: int = 16
     max_step: Optional[float] = None  # clamp the adapted step actually used
 
     @property

@@ -169,13 +169,14 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         if cfg.algorithm not in ("hmc", "chees") or subsample is not None:
             raise ValueError("full_grad requires algorithm='hmc' or 'chees' "
                              "and no query subsampling")
-        if cfg.gauss_field is not None:
+        if cfg.gauss_field is not None and not cfg.gauss_field_auto:
             raise ValueError("gauss_field and a full_grad oracle are "
-                             "mutually exclusive trajectory fields")
+                             "mutually exclusive trajectory fields "
+                             "(set gauss_field_auto to probe-and-fall-back)")
         from vihmc_tpu.hmc import make_subspace_grad
 
         grad_fn = make_subspace_grad(full_grad, spec, prior=prior)
-    elif cfg.gauss_field is not None:
+    elif cfg.gauss_field is not None and not cfg.gauss_field_auto:
         if cfg.algorithm not in ("hmc", "chees"):
             raise ValueError("gauss_field requires algorithm='hmc' or "
                              "'chees'")
@@ -183,6 +184,20 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
         grad_fn = gaussian_field_grad(spec.sub_mu(), spec.sub_sigma(),
                                       cfg.gauss_field)
+
+    gauss_fn = None
+    if cfg.gauss_field_auto:
+        # auto mode: build the VI-Gaussian field alongside the fallback
+        # field (grad_fn as configured above, or autodiff); a short probe
+        # below decides which one samples
+        if cfg.algorithm != "hmc" or subsample is not None:
+            raise ValueError("gauss_field_auto requires algorithm='hmc' "
+                             "and no query subsampling")
+        from vihmc_tpu.hmc import gaussian_field_grad
+
+        gauss_fn = gaussian_field_grad(
+            spec.sub_mu(), spec.sub_sigma(),
+            1.0 if cfg.gauss_field is None else cfg.gauss_field)
 
     if subsample is not None:
         like = get_likelihood(cfg.loss)
@@ -222,6 +237,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         else:
             grad_fn = clipped_grad_fn(log_prob, cfg.clip_grad,
                                       inv_mass=inv_mass, is_grad=False)
+        if gauss_fn is not None:
+            gauss_fn = clipped_grad_fn(gauss_fn, cfg.clip_grad,
+                                       inv_mass=inv_mass)
 
     inits = chain_inits(cfg, spec, k_init)
     if cfg.algorithm != "hmc" and cfg.save_vi_trace:
