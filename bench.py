@@ -670,6 +670,9 @@ def main():
         # same contract as the pipeline (vihmc_tpu/pipelines/vi_hmc.py)
         ap.error("--stride/--fn-stride require the Gram trajectory-gradient "
                  "path (drop --no-gram)")
+    if args.gauss_field is not None and args.no_gram:
+        ap.error("--gauss-field is a trajectory field of its own; "
+                 "drop --no-gram (plain autodiff) when requesting it")
     if args.gauss_field is not None and (args.stride or args.fn_stride):
         ap.error("--gauss-field replaces the Gram trajectory oracle; "
                  "--stride/--fn-stride do not apply")

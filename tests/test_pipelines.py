@@ -156,6 +156,60 @@ def test_vihmc_saves_vi_draw_trace(tmp_path):
                       TINY_MLP, artifacts, key=jax.random.key(3))
 
 
+def test_vihmc_gauss_field_auto_probe():
+    """gauss_field_auto probes the VI-Gaussian trajectory field for
+    gauss_field_probe_draws and keeps it iff the probe's mean MH acceptance
+    clears gauss_field_floor (ADVICE.md round-1 high finding)."""
+    d = TINY_MLP.num_params
+    rng = np.random.default_rng(5)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    base = dict(num_samples=12, step_size=1e-3, post_std=0.05, num_chains=2,
+                frozen_policy="refresh", tau_out=5e-2 ** 2, loss="NLL",
+                gauss_field_auto=True, gauss_field_probe_draws=4)
+
+    # floor 0: any acceptance keeps the Gaussian field
+    out = vi_hmc.run_nn(C.VIHMCRunConfig(**base, gauss_field_floor=0.0),
+                        TINY_MLP, artifacts, key=jax.random.key(7))
+    assert out["gauss_field_used"] is True
+    assert 0.0 <= out["gauss_field_probe_acceptance"] <= 1.0
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
+
+    # floor > 1 is unattainable: must fall back to the autodiff field
+    out = vi_hmc.run_nn(C.VIHMCRunConfig(**base, gauss_field_floor=1.5),
+                        TINY_MLP, artifacts, key=jax.random.key(7))
+    assert out["gauss_field_used"] is False
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
+
+
+def test_vihmc_gauss_field_auto_builds_gram_fallback(tiny_burgers):
+    """In auto mode the Gram/stride oracle is built alongside the Gaussian
+    field as the probe's fallback (ADVICE.md round-1 medium finding): the
+    gauss_field + coarse_stride combination must run, not raise."""
+    rng = np.random.default_rng(6)
+    d = TINY_DEEPONET.num_params
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.05,
+                 "sigma": (0.02 + 0.05 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=12, replace=False))}
+    cfg = C.VIHMCRunConfig(num_samples=8, step_size=1e-3, post_std=0.02,
+                           num_chains=1, loss="NLL", tau_out=1.0,
+                           frozen_policy="refresh", gauss_field=1.0,
+                           gauss_field_auto=True, gauss_field_probe_draws=3,
+                           gauss_field_floor=1.5, coarse_stride=2)
+    out = vi_hmc.run_operator(cfg, TINY_DEEPONET, artifacts,
+                              key=jax.random.key(3), data=tiny_burgers)
+    assert out["gauss_field_used"] is False  # floor unattainable -> Gram path
+    assert np.isfinite(np.asarray(out["result"].samples)).all()
+
+    # without auto, the combination stays an error
+    with pytest.raises(ValueError, match="gauss_field replaces"):
+        vi_hmc.run_operator(
+            dataclasses.replace(cfg, gauss_field_auto=False),
+            TINY_DEEPONET, artifacts, key=jax.random.key(3),
+            data=tiny_burgers)
+
+
 def test_operator_three_stage(tmp_path, tiny_burgers):
     """VI -> sensitivity -> VI-HMC for the DeepONet workload."""
     cfg_vi = C.OperatorVIRunConfig(

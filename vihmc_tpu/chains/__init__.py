@@ -18,6 +18,9 @@ from vihmc_tpu.chains.diagnostics import (
     potential_scale_reduction_np,
     summarize,
     summarize_np,
+    ess_bulk_np,
+    ess_tail_np,
+    rhat_rank_np,
 )
 
 __all__ = [
@@ -33,6 +36,9 @@ __all__ = [
     "potential_scale_reduction_np",
     "summarize",
     "summarize_np",
+    "ess_bulk_np",
+    "ess_tail_np",
+    "rhat_rank_np",
     "initialize_distributed",
     "global_chain_mesh",
     "chains_per_host",

@@ -242,6 +242,31 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                        inv_mass=inv_mass)
 
     inits = chain_inits(cfg, spec, k_init)
+
+    gauss_field_used = None
+    probe_acceptance = None
+    if gauss_fn is not None:
+        # auto mode probe: run gauss_field_probe_draws with the VI-Gaussian
+        # trajectory field; keep it if the mean MH acceptance clears
+        # gauss_field_floor, else sample with the fallback field (grad_fn as
+        # configured above: Gram/stride oracle or plain autodiff).
+        k_sample, k_probe = jax.random.split(k_sample)
+        probe_cfg = HMCConfig(
+            num_samples=max(1, cfg.gauss_field_probe_draws),
+            num_leapfrog=cfg.L, step_size=cfg.step_size, burn=0,
+            sampler="hmc", jitter_l=cfg.jitter_l, jitter_eps=cfg.jitter_eps,
+            jitter_low_frac=cfg.jitter_low_frac, max_step=cfg.max_step)
+        probe = sample_chains(log_prob, inits, k_probe, probe_cfg,
+                              inv_mass=inv_mass, aux=aux0,
+                              aux_refresh=refresh, mesh=mesh,
+                              grad_fn=gauss_fn)
+        # mean MH probability, not the accept indicator: far lower variance
+        # over a handful of probe draws
+        probe_acceptance = float(jnp.mean(probe.accept_probs))
+        gauss_field_used = probe_acceptance >= cfg.gauss_field_floor
+        if gauss_field_used:
+            grad_fn = gauss_fn
+
     if cfg.algorithm != "hmc" and cfg.save_vi_trace:
         raise ValueError("save_vi_trace is supported for algorithm='hmc' "
                          "only (the reference's VI-HMC uses plain HMC)")
@@ -297,6 +322,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             grad_fn=grad_fn)
 
     out = {"result": res, "spec": spec, "prior": prior}
+    if gauss_field_used is not None:
+        out["gauss_field_used"] = gauss_field_used
+        out["gauss_field_probe_acceptance"] = probe_acceptance
     if eval_forward is not None and y_eval is not None:
         evald = evaluate_samples(cfg, spec, prior, eval_forward, y_eval, res.samples)
         evald["metrics"]["acceptance_rate"] = res.acceptance_rate
@@ -404,16 +432,20 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
             deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
             train_split["solution"], tau_var=cfg.tau_out, prior=None)
 
+    # in auto mode the Gram/stride oracle is built ALONGSIDE the Gaussian
+    # field, as the probe's fallback trajectory field
     gram_eligible = (cfg.algorithm == "hmc" and cfg.loss == "NLL"
                      and subsample is None
                      and not deeponet_cfg.noise_neurons
                      and train_split["trunk_in"].ndim == 2
-                     and cfg.gauss_field is None)
+                     and (cfg.gauss_field is None or cfg.gauss_field_auto))
     full_grad = None
-    if cfg.gauss_field is not None and (cfg.coarse_stride or cfg.fn_stride):
+    if (cfg.gauss_field is not None and not cfg.gauss_field_auto
+            and (cfg.coarse_stride or cfg.fn_stride)):
         raise ValueError("gauss_field replaces the Gram trajectory oracle; "
-                         "drop coarse_stride/fn_stride")
-    if (use_gram and cfg.gauss_field is None) or \
+                         "drop coarse_stride/fn_stride (or set "
+                         "gauss_field_auto to probe-and-fall-back)")
+    if (use_gram and (cfg.gauss_field is None or cfg.gauss_field_auto)) or \
             (use_gram is None and gram_eligible):
         from vihmc_tpu.ops.gram_merge import (grid_stride_subset,
                                               infer_grid_shape,
