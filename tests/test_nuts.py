@@ -140,3 +140,50 @@ def test_nuts_da_axis_couples_chains():
                                rtol=1e-6)
     assert steps.max() <= 1.5 + 1e-6
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_nuts_surrogate_field_stays_exact():
+    """NUTS with a surrogate trajectory field (round-1 VERDICT item 9): the
+    dynamics follow a WRONG-but-smooth field while every leaf is weighted by
+    the exact density — the sampled moments must still match the target.
+
+    Target N(m, s^2) diag; surrogate field = the score of a Gaussian with a
+    shifted mean and inflated scale (a deliberately poor 'VI fit')."""
+    m = jnp.array([1.0, -2.0, 0.5])
+    s = jnp.array([0.5, 1.5, 1.0])
+
+    def lp(q):
+        return diag_normal_logpdf_sum(q, m, s)
+
+    from vihmc_tpu.hmc import gaussian_field_grad
+
+    bad_field = gaussian_field_grad(m + 0.4, 1.6 * s, 1.0)
+
+    cfg = NUTSConfig(num_samples=4000, max_depth=5, step_size=0.3, burn=800)
+    res = jax.jit(lambda k: nuts_sample(lp, jnp.zeros(3), k, cfg,
+                                        grad_fn=bad_field))(jax.random.key(5))
+    post = np.asarray(res.samples[800:])
+    ess = effective_sample_size_np(post[None])
+    se = np.asarray(s) / np.sqrt(np.maximum(ess, 4.0))
+    assert np.all(np.abs(post.mean(0) - np.asarray(m)) < 5 * se), \
+        (post.mean(0), ess)
+    np.testing.assert_allclose(post.std(0), np.asarray(s), rtol=0.15)
+
+
+def test_nuts_pipeline_accepts_gauss_field():
+    """algorithm='nuts' + gauss_field runs through the VI-HMC pipeline."""
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines import vi_hmc, configs as C
+
+    mlp = MLPConfig(in_dim=1, widths=(8, 8), out_dim=1, activation="tanh")
+    d = mlp.num_params
+    rng = np.random.default_rng(11)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    cfg = C.VIHMCRunConfig(num_samples=12, num_chains=2, algorithm="nuts",
+                           nuts_max_depth=3, step_size=1e-2, tau_out=5e-2 ** 2,
+                           loss="NLL", frozen_policy="refresh",
+                           gauss_field=1.0, clip_grad=50.0)
+    out = vi_hmc.run_nn(cfg, mlp, artifacts, key=jax.random.key(6))
+    assert np.isfinite(np.asarray(out["result"].samples)).all()

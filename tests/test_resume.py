@@ -108,3 +108,36 @@ def test_vi_train_checkpoint_restart(tmp_path):
                                 ckpt_dir=ck, restart=True)
     assert metrics2.shape[0] == 0
     assert int(final2.epoch) == int(final.epoch)
+
+
+def test_vihmc_pipeline_segmented_resumable(tmp_path):
+    """run_nn(segment_size=..., checkpoint_dir=...) samples in checkpointed
+    segments; a rerun against the same checkpoint dir resumes (returning the
+    already-collected samples) instead of re-sampling."""
+    import numpy as np
+    import jax
+
+    from vihmc_tpu.models import MLPConfig
+    from vihmc_tpu.pipelines import vi_hmc, configs as C
+
+    mlp = MLPConfig(in_dim=1, widths=(8, 8), out_dim=1, activation="tanh")
+    d = mlp.num_params
+    rng = np.random.default_rng(2)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    cfg = C.VIHMCRunConfig(num_samples=12, step_size=1e-3, post_std=0.05,
+                           num_chains=2, frozen_policy="refresh",
+                           tau_out=5e-2 ** 2, loss="NLL")
+    ck = str(tmp_path / "ck")
+    segs = []
+    out = vi_hmc.run_nn(cfg, mlp, artifacts, key=jax.random.key(5),
+                        segment_size=5, checkpoint_dir=ck,
+                        progress=lambda s, n, st: segs.append((s, n)))
+    assert segs == [(1, 3), (2, 3), (3, 3)]
+    s1 = np.asarray(out["result"].samples)
+    assert s1.shape == (2, 12, 10) and np.isfinite(s1).all()
+
+    out2 = vi_hmc.run_nn(cfg, mlp, artifacts, key=jax.random.key(5),
+                         segment_size=5, checkpoint_dir=ck)
+    np.testing.assert_array_equal(np.asarray(out2["result"].samples), s1)

@@ -171,6 +171,8 @@ def potential_scale_reduction_np(samples):
     x = np.asarray(samples)
     c, s, d = x.shape
     half = s // 2
+    if half < 2:
+        return np.full(d, np.nan)  # too few draws to split
     x = np.concatenate([x[:, :half], x[:, half: 2 * half]], axis=0)
     chain_means = x.mean(axis=1)
     b = half * chain_means.var(axis=0, ddof=1)

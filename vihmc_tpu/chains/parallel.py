@@ -113,12 +113,13 @@ def sample_chains(
 
 
 @functools.lru_cache(maxsize=64)
-def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
+def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
+                              grad_fn=None):
     from vihmc_tpu.hmc.nuts import nuts_sample
 
     def one_chain(k, q0, inv_mass, aux):
         return nuts_sample(log_prob_fn, q0, k, config, inv_mass=inv_mass,
-                           aux=aux, aux_refresh=aux_refresh)
+                           aux=aux, aux_refresh=aux_refresh, grad_fn=grad_fn)
 
     vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None),
                        axis_name="chains")
@@ -133,12 +134,13 @@ def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh):
 
 
 def sample_chains_nuts(log_prob_fn, init_positions, key, config, inv_mass=1.0,
-                       aux=None, aux_refresh=None, mesh=None):
+                       aux=None, aux_refresh=None, mesh=None, grad_fn=None):
     """Multi-chain NUTS (vmap + mesh), mirroring :func:`sample_chains`."""
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
-    fn = _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh)
+    fn = _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
+                                   grad_fn)
     return fn(chain_keys, init_positions, inv_mass, aux)
 
 

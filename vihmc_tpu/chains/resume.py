@@ -70,16 +70,27 @@ def sample_chains_resumable(
     aux_refresh=None,
     progress: Optional[callable] = None,
     grad_fn=None,
+    thin: int = 1,
 ):
     """Like :func:`vihmc_tpu.chains.sample_chains` but in checkpointed segments.
 
     ``config.num_samples`` total draws split into ceil(N/segment_size)
     segments. With ``checkpoint_dir`` set, state + samples persist after every
     segment and an interrupted run resumes automatically.
+
+    ``thin``: keep every ``thin``-th draw in the returned/persisted sample
+    array (the sampler state advances through every draw; per-draw info
+    arrays stay unthinned). For reference-scale subspaces (~81k dims) a
+    month of draws doesn't fit host RAM or checkpoint IO unthinned; with
+    ``thin`` well below the autocorrelation time the pooled-ESS estimate is
+    unchanged (tau shrinks by the same factor the sample count does).
+    Requires ``segment_size % thin == 0`` so segments stay aligned.
     """
     n_chains, d = init_positions.shape
     n_total = config.num_samples
     n_segments = -(-n_total // segment_size)
+    if thin < 1 or segment_size % thin:
+        raise ValueError("thin must divide segment_size")
 
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     runner = _build_segment_runner(
@@ -113,6 +124,8 @@ def sample_chains_resumable(
     for seg in range(start_seg, n_segments):
         state, outs = run_segment(state, seg)
         seg_samples = np.asarray(outs["position"])  # (C, seg, D)
+        if thin > 1:
+            seg_samples = seg_samples[:, thin - 1::thin]
         collected.append(seg_samples)
         for k in infos:
             infos[k].append(np.asarray(outs[k]))
@@ -123,7 +136,7 @@ def sample_chains_resumable(
             np.save(os.path.join(checkpoint_dir, "samples.npy"),
                     np.concatenate(collected, axis=1))
 
-    samples = np.concatenate(collected, axis=1)[:, :n_total]
+    samples = np.concatenate(collected, axis=1)[:, :n_total // thin]
     out_infos = {k: (np.concatenate(v, axis=1)[:, :n_total] if v else
                      np.zeros((n_chains, 0))) for k, v in infos.items()}
     # note: on resume the per-draw info arrays cover only the segments run in

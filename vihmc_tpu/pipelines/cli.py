@@ -104,6 +104,40 @@ def build_parser():
                         "endpoints keeps MH unbiased; 1.0 recommended)")
     p.add_argument("--mat", default=None)
 
+    p = sub.add_parser("sensitivity", help="standalone sensitivity stage "
+                       "against a finished VI run (reads vi_mu/sigma_flattened)")
+    _common(p)
+    p.add_argument("--vi-run", required=True,
+                   help="RunStore uid dir of a finished vi-nn/vi-operator run")
+    p.add_argument("--workload", choices=["nn", "operator"], default="nn")
+    p.add_argument("--threshold", type=float, default=0.90)
+    p.add_argument("--mat", default=None)
+
+    p = sub.add_parser("reevaluate", help="reload saved hmc_params and "
+                       "re-score on validation data without sampling (the "
+                       "reference's test/evaluate flags)")
+    _common(p)
+    p.add_argument("--run", required=True,
+                   help="RunStore uid dir containing hmc_params.npy")
+    p.add_argument("--artifacts", default=None,
+                   help="RunStore uid dir with means/stds/gradient_indices "
+                        "(default: --run itself)")
+    p.add_argument("--workload", choices=["nn", "operator"], default="nn")
+    p.add_argument("--burn", type=int, default=None)
+    p.add_argument("--mat", default=None)
+
+    p = sub.add_parser("predict", help="posterior predictive from saved "
+                       "hmc_params: persist thinned predictions + mean "
+                       "prediction (the reference's predict_model)")
+    _common(p)
+    p.add_argument("--run", required=True)
+    p.add_argument("--artifacts", default=None)
+    p.add_argument("--workload", choices=["nn", "operator"], default="nn")
+    p.add_argument("--burn", type=int, default=None)
+    p.add_argument("--keep", type=int, default=64,
+                   help="number of thinned posterior-predictive samples kept")
+    p.add_argument("--mat", default=None)
+
     p = sub.add_parser("hmc-nuts", help="full-parameter DeepONet HMC + adaptation")
     _common(p)
     p.add_argument("--num-samples", type=int, default=None)
@@ -130,6 +164,63 @@ def build_parser():
 def _override(cfg, **updates):
     updates = {k: v for k, v in updates.items() if v is not None}
     return dataclasses.replace(cfg, **updates) if updates else cfg
+
+
+def _reevaluate(args, C, vi_hmc, RunStore, key):
+    """Shared reevaluate/predict flow: rebuild the run's config from its
+    snapshot, reload hmc_params, re-score (reference eval_VI_HMC,
+    /root/reference/Operator_network/VI_HMC/main_VI_HMC_burgers.py:304-349)."""
+    import os
+
+    root, uid = os.path.split(args.run.rstrip("/"))
+    run_store = RunStore.open(root or ".", uid)
+    art_dir = args.artifacts or args.run
+    root_a, uid_a = os.path.split(art_dir.rstrip("/"))
+    art_store = RunStore.open(root_a or ".", uid_a)
+    artifacts = {"mu": art_store.load_array("means_flattened"),
+                 "sigma": art_store.load_array("stds_flattened"),
+                 "indices": art_store.load_array("gradient_indices")}
+
+    saved = run_store.load_config()
+    fields = {f.name for f in dataclasses.fields(C.VIHMCRunConfig)}
+    cfg = C.VIHMCRunConfig(**{k: v for k, v in saved.items() if k in fields})
+    if args.burn is not None:
+        cfg = dataclasses.replace(cfg, burn=args.burn)
+
+    keep = getattr(args, "keep", 64)
+    if args.workload == "nn":
+        mlp_cfg = C.NNVIRunConfig().model
+        from vihmc_tpu.pipelines.vi_hmc import (evaluate_samples,
+                                                make_spec, make_subspace_prior)
+        from vihmc_tpu.pipelines.common import make_flat_mlp
+        from vihmc_tpu.data.synthetic import regression_data
+
+        data = regression_data(key, noise_std=cfg.tau_out ** 0.5
+                               if cfg.loss == "NLL" else cfg.tau_out ** -0.5)
+        apply_flat, _, _ = make_flat_mlp(mlp_cfg)
+        spec = make_spec(artifacts)
+        prior = make_subspace_prior(cfg, spec)
+        return evaluate_samples(cfg, spec, prior,
+                                lambda flat: apply_flat(flat, data["x_val"]),
+                                data["y_val"],
+                                run_store.load_array("hmc_params"),
+                                keep_predictions=keep)
+    from vihmc_tpu.pipelines.vi_hmc import (evaluate_samples, make_spec,
+                                            make_subspace_prior)
+    from vihmc_tpu.pipelines.common import make_flat_deeponet
+    from vihmc_tpu.data import get_burgers
+
+    op_model = C.OperatorVIRunConfig().model
+    _, valid_split = get_burgers(key, 1000, 1000, args.mat)
+    apply_flat, _, _ = make_flat_deeponet(op_model)
+    spec = make_spec(artifacts)
+    prior = make_subspace_prior(cfg, spec)
+    return evaluate_samples(
+        cfg, spec, prior,
+        lambda flat: apply_flat(flat, valid_split["branch_in"],
+                                valid_split["trunk_in"]),
+        valid_split["solution"], run_store.load_array("hmc_params"),
+        keep_predictions=keep)
 
 
 def main(argv=None):
@@ -229,6 +320,47 @@ def main(argv=None):
                                       artifacts, key=key, mat_path=args.mat,
                                       store=store)
         _print_metrics(out["metrics"])
+    elif args.command == "sensitivity":
+        import os
+
+        root, uid = os.path.split(args.vi_run.rstrip("/"))
+        vi_store = RunStore.open(root or ".", uid)
+        flat_mu = vi_store.load_array("vi_mu_flattened")
+        flat_sigma = vi_store.load_array("vi_sigma_flattened")
+        scfg = C.SensitivityRunConfig(importance_threshold=args.threshold)
+        if args.workload == "nn":
+            from vihmc_tpu.data.synthetic import regression_data
+
+            nn_cfg = C.NNVIRunConfig()
+            data = regression_data(jax.random.key(args.seed), nn_cfg.n_train,
+                                   nn_cfg.n_val, noise_std=nn_cfg.noise)
+            sens = sens_p.run_nn_flat(flat_mu, flat_sigma, nn_cfg.model,
+                                      data["x_val"], scfg, store=store)
+        else:
+            from vihmc_tpu.data import get_burgers
+
+            op_cfg = C.OperatorVIRunConfig()
+            _, valid_split = get_burgers(jax.random.key(args.seed),
+                                         op_cfg.n_train, op_cfg.n_valid,
+                                         args.mat)
+            sens = sens_p.run_operator_flat(flat_mu, flat_sigma, op_cfg.model,
+                                            valid_split, scfg, key=key,
+                                            store=store)
+        print(f"sensitive params: {sens['num_sensitive']}/"
+              f"{len(sens['scores'])} (artifacts in {store.path})")
+    elif args.command in ("reevaluate", "predict"):
+        out = _reevaluate(args, C, vi_hmc, RunStore, key)
+        _print_metrics(out["metrics"])
+        diag = out["diagnostics"]
+        print(json.dumps({
+            "ess_median": float(np.median(np.asarray(diag["ess"]))),
+            "r_hat_max": float(np.nanmax(np.asarray(diag["r_hat"]))),
+        }))
+        if args.command == "predict":
+            store.save_array("predictions", out["predictions"])
+            store.save_array("pred_mean", out["mean_prediction"])
+            print(f"predictions {np.asarray(out['predictions']).shape} "
+                  f"-> {store.path}")
     elif args.command == "hmc-nuts":
         cfg = _override(C.OperatorHMCRunConfig(), num_samples=args.num_samples)
         out = hmc_nuts.run(cfg, key=key, mat_path=args.mat, store=store)

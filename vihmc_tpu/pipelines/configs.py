@@ -172,6 +172,11 @@ class VIHMCRunConfig:
     gauss_field_floor: float = 0.35  # acceptance floor for the auto probe
     gauss_field_probe_draws: int = 16
     max_step: Optional[float] = None  # clamp the adapted step actually used
+    da_axis: Optional[str] = None    # couple dual averaging across the
+                                     # 'chains' vmap axis: the accept
+                                     # statistic is pmean'd so all chains
+                                     # share one low-noise adapted step
+                                     # (see HMCConfig.da_axis)
 
     @property
     def L(self) -> int:

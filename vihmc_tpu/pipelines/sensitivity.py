@@ -50,6 +50,16 @@ def run_nn(vp, mlp_cfg, inputs, cfg: SensitivityRunConfig = SensitivityRunConfig
            store: Optional[RunStore] = None):
     """NN sensitivity. ``vp`` = trained variational params; ``inputs`` (N, in)."""
     flat_mu, flat_sigma = flatten_mean_std(vp)
+    return run_nn_flat(flat_mu, flat_sigma, mlp_cfg, inputs, cfg, store)
+
+
+def run_nn_flat(flat_mu, flat_sigma, mlp_cfg, inputs,
+                cfg: SensitivityRunConfig = SensitivityRunConfig(),
+                store: Optional[RunStore] = None):
+    """NN sensitivity from flat VI mu/sigma vectors — the standalone entry
+    point consuming a finished VI run's ``vi_mu/sigma_flattened`` artifacts
+    (the reference runs sensitivity.py as its own script against a saved
+    checkpoint, /root/reference/Neural_network/VI/sensitivity.py:205-235)."""
     apply_flat, _, _ = make_flat_mlp(mlp_cfg)
 
     def apply_one(flat, x):
@@ -64,8 +74,17 @@ def run_operator(vp, deeponet_cfg, split, cfg: SensitivityRunConfig = Sensitivit
                  key=None, store: Optional[RunStore] = None):
     """Operator sensitivity over ``cfg.p_subsample`` random trunk points per
     example (reference config_sens.py:25 uses p=100 to bound the Jacobian)."""
-    key = jax.random.key(0) if key is None else key
     flat_mu, flat_sigma = flatten_mean_std(vp)
+    return run_operator_flat(flat_mu, flat_sigma, deeponet_cfg, split, cfg,
+                             key=key, store=store)
+
+
+def run_operator_flat(flat_mu, flat_sigma, deeponet_cfg, split,
+                      cfg: SensitivityRunConfig = SensitivityRunConfig(),
+                      key=None, store: Optional[RunStore] = None):
+    """Operator twin of :func:`run_nn_flat` (standalone stage against a
+    finished VI run's flat-posterior artifacts)."""
+    key = jax.random.key(0) if key is None else key
     apply_flat, _, _ = make_flat_deeponet(deeponet_cfg)
 
     if split["trunk_in"].ndim == 3:

@@ -147,7 +147,9 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
 def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                      eval_forward=None, y_eval=None, mesh=None,
                      store: Optional[RunStore] = None, subsample=None,
-                     full_ll=None, full_grad=None):
+                     full_ll=None, full_grad=None, segment_size=None,
+                     checkpoint_dir=None, progress=None, sample_thin=1,
+                     evaluate=True):
     """Generic subspace-HMC driver shared by NN and operator pipelines.
 
     ``subsample``: optional dict {n_points, p, forward(flat, tidx), y_fn(tidx)}
@@ -159,6 +161,12 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     the Gram-form DeepONet gradient) used for leapfrog trajectories instead
     of autodiff; the exact density still decides MH acceptance. Plain HMC
     only; requires ``subsample=None``.
+    ``segment_size``: run the sampler in checkpointed segments via
+    :func:`vihmc_tpu.chains.sample_chains_resumable` (plain HMC, no mesh) —
+    the production path for long reference-scale chains on backends with a
+    per-dispatch draw ceiling; with ``checkpoint_dir`` an interrupted run
+    resumes bitwise-identically. ``progress(seg, n_segments, state)`` is
+    forwarded to the segment runner.
     """
     k_frozen, k_init, k_sample, k_sub = jax.random.split(key, 4)
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
@@ -166,9 +174,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     grad_fn = None
     if full_grad is not None:
-        if cfg.algorithm not in ("hmc", "chees") or subsample is not None:
-            raise ValueError("full_grad requires algorithm='hmc' or 'chees' "
-                             "and no query subsampling")
+        if cfg.algorithm not in ("hmc", "chees", "nuts") or subsample is not None:
+            raise ValueError("full_grad requires algorithm='hmc', 'chees' or "
+                             "'nuts' and no query subsampling")
         if cfg.gauss_field is not None and not cfg.gauss_field_auto:
             raise ValueError("gauss_field and a full_grad oracle are "
                              "mutually exclusive trajectory fields "
@@ -177,9 +185,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
         grad_fn = make_subspace_grad(full_grad, spec, prior=prior)
     elif cfg.gauss_field is not None and not cfg.gauss_field_auto:
-        if cfg.algorithm not in ("hmc", "chees"):
-            raise ValueError("gauss_field requires algorithm='hmc' or "
-                             "'chees'")
+        if cfg.algorithm not in ("hmc", "chees", "nuts"):
+            raise ValueError("gauss_field requires algorithm='hmc', 'chees' "
+                             "or 'nuts'")
         from vihmc_tpu.hmc import gaussian_field_grad
 
         grad_fn = gaussian_field_grad(spec.sub_mu(), spec.sub_sigma(),
@@ -228,8 +236,9 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
     if cfg.clip_grad is not None:
         # after any subsample rebinding so the clip wraps the final target
-        if cfg.algorithm not in ("hmc", "chees"):
-            raise ValueError("clip_grad requires algorithm='hmc' or 'chees'")
+        if cfg.algorithm not in ("hmc", "chees", "nuts"):
+            raise ValueError("clip_grad requires algorithm='hmc', 'chees' "
+                             "or 'nuts'")
         from vihmc_tpu.hmc import clipped_grad_fn
 
         if grad_fn is not None:
@@ -304,7 +313,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                               mass_schedule=cfg.mass_schedule)
         res = sample_chains_nuts(log_prob, inits, k_sample, nuts_cfg,
                                  inv_mass=inv_mass, aux=aux0,
-                                 aux_refresh=refresh, mesh=mesh)
+                                 aux_refresh=refresh, mesh=mesh,
+                                 grad_fn=grad_fn)
     else:
         hmc_cfg = HMCConfig(num_samples=cfg.num_samples, num_leapfrog=cfg.L,
                             step_size=cfg.step_size, burn=cfg.burn_,
@@ -316,17 +326,41 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             jitter_l=cfg.jitter_l,
                             jitter_eps=cfg.jitter_eps,
                             jitter_low_frac=cfg.jitter_low_frac,
-                            max_step=cfg.max_step)
-        res = sample_chains(log_prob, inits, k_sample, hmc_cfg, inv_mass=inv_mass,
-                            aux=aux0, aux_refresh=refresh, mesh=mesh,
-                            grad_fn=grad_fn)
+                            max_step=cfg.max_step,
+                            da_axis=cfg.da_axis)
+        if segment_size is not None:
+            if mesh is not None:
+                raise ValueError("segment_size (resumable sampling) does not "
+                                 "compose with a mesh yet; shard chains via "
+                                 "separate per-host runs instead")
+            if cfg.save_vi_trace:
+                raise ValueError("save_vi_trace is not recorded across "
+                                 "resumable segments; drop segment_size")
+            from vihmc_tpu.chains import sample_chains_resumable
+
+            res = sample_chains_resumable(
+                log_prob, inits, k_sample, hmc_cfg,
+                segment_size=segment_size, checkpoint_dir=checkpoint_dir,
+                inv_mass=inv_mass, aux=aux0, aux_refresh=refresh,
+                progress=progress, grad_fn=grad_fn, thin=sample_thin)
+        else:
+            res = sample_chains(log_prob, inits, k_sample, hmc_cfg,
+                                inv_mass=inv_mass, aux=aux0,
+                                aux_refresh=refresh, mesh=mesh,
+                                grad_fn=grad_fn)
 
     out = {"result": res, "spec": spec, "prior": prior}
     if gauss_field_used is not None:
         out["gauss_field_used"] = gauss_field_used
         out["gauss_field_probe_acceptance"] = probe_acceptance
-    if eval_forward is not None and y_eval is not None:
-        evald = evaluate_samples(cfg, spec, prior, eval_forward, y_eval, res.samples)
+    if evaluate and eval_forward is not None and y_eval is not None:
+        eval_cfg = cfg
+        if sample_thin > 1:
+            import dataclasses as _dc
+
+            eval_cfg = _dc.replace(cfg, burn=cfg.burn_ // sample_thin)
+        evald = evaluate_samples(eval_cfg, spec, prior, eval_forward, y_eval,
+                                 res.samples)
         evald["metrics"]["acceptance_rate"] = res.acceptance_rate
         evald["metrics"]["num_divergent"] = res.num_divergent
         out.update(evald)
@@ -351,7 +385,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 # ---------------------------------------------------------------------------
 
 def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
-           mesh=None, store: Optional[RunStore] = None):
+           mesh=None, store: Optional[RunStore] = None, segment_size=None,
+           checkpoint_dir=None, progress=None):
     """NN regression VI-HMC (reference main_VI_HMC.py)."""
     if cfg.coarse_stride or cfg.fn_stride:
         raise ValueError("coarse_stride/fn_stride apply to the operator "
@@ -372,6 +407,9 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
         y_eval=data["y_val"],
         mesh=mesh,
         store=store,
+        segment_size=segment_size,
+        checkpoint_dir=checkpoint_dir,
+        progress=progress,
     )
     out["data"] = data
     out["apply_flat"] = apply_flat
@@ -381,7 +419,9 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
 def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
                  data=None, mat_path=None, mesh=None,
                  store: Optional[RunStore] = None, use_fused: bool = False,
-                 use_gram: Optional[bool] = None):
+                 use_gram: Optional[bool] = None, segment_size=None,
+                 checkpoint_dir=None, progress=None, sample_thin=1,
+                 evaluate=True):
     """Operator VI-HMC on Burgers (reference main_VI_HMC_burgers.py).
 
     With ``cfg.sample_data`` and ``cfg.p`` below the grid size, a random
@@ -485,6 +525,11 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         subsample=subsample,
         full_ll=full_ll,
         full_grad=full_grad,
+        segment_size=segment_size,
+        checkpoint_dir=checkpoint_dir,
+        progress=progress,
+        sample_thin=sample_thin,
+        evaluate=evaluate,
     )
     out["data"] = (train_split, valid_split)
     out["apply_flat"] = apply_flat

@@ -71,8 +71,21 @@ def run_nn(cfg: NNVIRunConfig = NNVIRunConfig(), key=None, data=None,
 
     if store is not None:
         store.save_config(cfg)
+        _save_vi_posterior(store, best_state)
     return {"state": state, "best_state": best_state, "metrics": metrics,
             "data": data, "apply_fn": apply_fn}
+
+
+def _save_vi_posterior(store: RunStore, best_state):
+    """Persist the best variational posterior as flat mu/sigma arrays so the
+    sensitivity stage can run standalone against a finished VI run — the
+    reference's checkpoint -> sensitivity filesystem handoff
+    (/root/reference/Operator_network/VI/sensitivity.py:254-271)."""
+    from vihmc_tpu.sensitivity import flatten_mean_std
+
+    flat_mu, flat_sigma = flatten_mean_std(best_state.vp)
+    store.save_array("vi_mu_flattened", flat_mu)
+    store.save_array("vi_sigma_flattened", flat_sigma)
 
 
 def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
@@ -174,6 +187,7 @@ def _run_operator_scan(cfg, state, apply_fn, train_split, valid_split,
 
     if store is not None:
         store.save_config(cfg)
+        _save_vi_posterior(store, best_state)
     return {"state": state, "best_state": best_state,
             "metrics": np.asarray(metrics),
             "data": (train_split, valid_split), "apply_fn": apply_fn}
@@ -270,5 +284,6 @@ def run_operator(cfg: OperatorVIRunConfig = OperatorVIRunConfig(), key=None,
 
     if store is not None:
         store.save_config(cfg)
+        _save_vi_posterior(store, best_state)
     return {"state": state, "best_state": best_state, "metrics": metrics,
             "data": (train_split, valid_split), "apply_fn": apply_fn}
