@@ -1,0 +1,125 @@
+"""Measured multi-device chain scaling on the virtual CPU mesh.
+
+Round-1 VERDICT item 5 asked for the >=95% chains/s scaling target to be
+MEASURED rather than asserted. Real multi-chip hardware is not reachable
+from this environment, so two measurements stand in, both on the
+xla_force_host_platform_device_count mesh:
+
+1. **Per-device compiled cost** of the full VI-HMC sampling scan at
+   1/2/4/8 chain shards (``compiled.cost_analysis()``): with chains sharded
+   over N devices, each device's FLOPs must be ~1/N of the single-device
+   program. This is the compile-level counterpart of linear chains/s —
+   each chip executes an identical SPMD program on its shard with zero
+   cross-chain communication, so wall-clock linearity on real chips follows
+   from the partition being clean. (Also asserted in CI:
+   tests/test_distributed.py::test_chain_sharding_partitions_per_device_cost.)
+
+2. **Weak-scaling wall clock at 1 -> 2 devices** (this host has 2 physical
+   cores, so only the 2-device point carries real parallel hardware;
+   beyond that the virtual devices time-share cores and wall clock is
+   meaningless): chains-per-device held fixed, wall clock should stay flat.
+
+Writes docs/results/mesh_scaling.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags +
+                               " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(n_chains):
+    from vihmc_tpu.hmc import (HMCConfig, FrozenPolicy, SubspaceSpec,
+                               make_subspace_log_prob)
+    from vihmc_tpu.dists.priors import DiagonalGaussianPrior
+    from vihmc_tpu.dists.likelihoods import get_likelihood
+    from vihmc_tpu.models import DeepONetConfig
+    from vihmc_tpu.pipelines.common import make_flat_deeponet
+
+    cfg = DeepONetConfig(in_branch=17, in_trunk=5, width_branch=32,
+                         width_trunk=32, depth_branch=4, depth_trunk=4)
+    apply_flat, flat0, _ = make_flat_deeponet(cfg)
+    d = flat0.shape[0]
+    rng = np.random.default_rng(0)
+    b, p = 64, 256
+    branch_x = jnp.asarray(rng.normal(size=(b, cfg.in_branch)), jnp.float32)
+    trunk_x = jnp.asarray(rng.uniform(size=(p, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(b, p)), jnp.float32)
+    mu = jnp.asarray(0.05 * rng.normal(size=d), jnp.float32)
+    sigma = jnp.asarray(0.02 + 0.02 * rng.random(d), jnp.float32)
+    idx = tuple(int(i) for i in np.sort(rng.choice(d, 256, replace=False)))
+    spec = SubspaceSpec(idx=idx, mu=mu, sigma=sigma)
+    like = get_likelihood("NLL")
+    lp_like, aux0, refresh = make_subspace_log_prob(
+        lambda f: like(apply_flat(f, branch_x, trunk_x), y, 1.0), spec,
+        FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+    prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
+
+    def log_prob(q, aux):
+        return lp_like(q, aux) + prior.log_prob(q)
+
+    hmc_cfg = HMCConfig(num_samples=40, num_leapfrog=8, step_size=1e-3)
+    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    return log_prob, refresh, aux0, spec, hmc_cfg, inits
+
+
+def main():
+    from vihmc_tpu.chains import make_chain_mesh
+    from vihmc_tpu.chains.parallel import _build_chain_sampler
+
+    devices = jax.devices()
+    out = {"per_device_flops": {}, "partition_efficiency": {},
+           "weak_scaling_wall_s": {}}
+
+    # 1. per-device compiled cost at 1/2/4/8 shards (8 chains fixed)
+    log_prob, refresh, aux0, spec, cfg, inits = build(8)
+    keys = jax.random.split(jax.random.key(1), 8)
+    inv_mass = spec.sub_sigma() ** 2
+    for n in (1, 2, 4, 8):
+        mesh = make_chain_mesh(n, 1, devices=devices[:n])
+        fn = _build_chain_sampler(log_prob, cfg, refresh, None, mesh, None)
+        ca = fn.lower(keys, inits, inv_mass, aux0, None).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        out["per_device_flops"][n] = float(ca["flops"])
+    f1 = out["per_device_flops"][1]
+    for n in (2, 4, 8):
+        out["partition_efficiency"][n] = f1 / (n * out["per_device_flops"][n])
+
+    # 2. weak scaling wall clock 1 -> 2 devices (2 physical cores)
+    for n in (1, 2):
+        c = 4 * n  # fixed 4 chains per device
+        log_prob, refresh, aux0, spec, cfg, inits = build(c)
+        keys = jax.random.split(jax.random.key(1), c)
+        mesh = make_chain_mesh(n, 1, devices=devices[:n])
+        fn = _build_chain_sampler(log_prob, cfg, refresh, None, mesh, None)
+        r = fn(keys, inits, inv_mass, aux0, None)
+        np.asarray(r.samples)  # compile+warm
+        t0 = time.perf_counter()
+        for k in range(3):
+            r = fn(jax.random.split(jax.random.key(k + 2), c), inits,
+                   inv_mass, aux0, None)
+        np.asarray(r.samples)
+        out["weak_scaling_wall_s"][n] = (time.perf_counter() - t0) / 3
+
+    w1, w2 = out["weak_scaling_wall_s"][1], out["weak_scaling_wall_s"][2]
+    out["weak_scaling_efficiency_2dev"] = w1 / w2
+    os.makedirs("docs/results", exist_ok=True)
+    with open("docs/results/mesh_scaling.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

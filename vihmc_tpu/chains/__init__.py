@@ -1,4 +1,5 @@
 from vihmc_tpu.chains.parallel import (
+    ChainSampler,
     sample_chains,
     sample_chains_chees,
     sample_chains_nuts,
@@ -24,6 +25,7 @@ from vihmc_tpu.chains.diagnostics import (
 )
 
 __all__ = [
+    "ChainSampler",
     "sample_chains",
     "sample_chains_chees",
     "sample_chains_nuts",

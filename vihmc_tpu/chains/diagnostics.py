@@ -85,6 +85,18 @@ def effective_sample_size_np(samples, return_tau: bool = False):
 
     x = np.asarray(samples)
     c, s, d = x.shape
+    # chunk the dim axis: the complex FFT intermediate is (C, S+1, chunk)
+    # complex128 — unchunked at reference scale (24 chains x ~1000 draws x
+    # 81k dims) it would peak ~30 GB
+    chunk = 4096
+    if d > chunk:
+        parts = [effective_sample_size_np(x[:, :, i:i + chunk],
+                                          return_tau=return_tau)
+                 for i in range(0, d, chunk)]
+        if return_tau:
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]), parts[0][2])
+        return np.concatenate(parts)
     xc = x - x.mean(axis=1, keepdims=True)
     nfft = 2 * s
     f = np.fft.rfft(xc, nfft, axis=1)
@@ -192,7 +204,8 @@ def summarize(samples: jnp.ndarray) -> dict:
     }
 
 
-def summarize_np(samples, rank_normalized: bool = True) -> dict:
+def summarize_np(samples, rank_normalized: bool = True,
+                 rank_dims: int = 16384) -> dict:
     """Host-side summary: required for very high-dimensional subspaces where
     the on-device FFT autocovariance would blow HBM (e.g. a ~79k-dim
     subspace OOM'd a 16 GB chip).
@@ -215,8 +228,17 @@ def summarize_np(samples, rank_normalized: bool = True) -> dict:
         "ess": ess,
     }
     if rank_normalized:
-        out["ess_bulk"] = ess_bulk_np(x)
-        out["ess_tail"] = ess_tail_np(x)
-        out["r_hat_rank"] = rhat_rank_np(x)
+        # the rank battery costs ~5 full sort passes per dim; above
+        # ``rank_dims`` dims it runs on a deterministic random subset
+        # (raw r_hat/ess above remain full-dimension)
+        xr = x
+        if x.shape[2] > rank_dims:
+            sub = np.random.default_rng(0).choice(x.shape[2], rank_dims,
+                                                  replace=False)
+            xr = x[:, :, np.sort(sub)]
+            out["rank_dims_subsampled"] = int(rank_dims)
+        out["ess_bulk"] = ess_bulk_np(xr)
+        out["ess_tail"] = ess_tail_np(xr)
+        out["r_hat_rank"] = rhat_rank_np(xr)
         out["tau_floor_frac"] = float(np.mean(raw_tau < tau_floor))
     return out

@@ -81,6 +81,41 @@ def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
     )
 
 
+class ChainSampler:
+    """Explicit compiled-sampler handle (the framework-contract alternative
+    to :func:`sample_chains`'s identity-keyed cache).
+
+    :func:`sample_chains` caches compiled programs keyed on FUNCTION
+    IDENTITY — callers that rebuild their log-prob closure each run (every
+    pipeline construction does) silently recompile, and the cache pins
+    compiled executables + closed-over arrays for process lifetime. Hold a
+    ``ChainSampler`` instead when sampling the same posterior repeatedly:
+
+        sampler = ChainSampler(log_prob, config, aux_refresh=refresh)
+        res1 = sampler(key1, inits, inv_mass=m, aux=aux0)
+        res2 = sampler(key2, inits, inv_mass=m, aux=aux0)  # no retrace
+
+    The handle owns exactly one compiled program; dropping it releases the
+    executable (nothing is interned in a global cache).
+    """
+
+    def __init__(self, log_prob_fn, config: HMCConfig, aux_refresh=None,
+                 shard_log_prob_fn=None, mesh: Optional[Mesh] = None,
+                 grad_fn=None):
+        self.config = config
+        # bypass the lru_cache: build an uncached instance-owned program
+        self._fn = _build_chain_sampler.__wrapped__(
+            log_prob_fn, config, aux_refresh, shard_log_prob_fn, mesh, grad_fn)
+
+    def __call__(self, key, init_positions, inv_mass=1.0, aux=None,
+                 shard_data=None) -> SampleResult:
+        n_chains = init_positions.shape[0]
+        chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n_chains))
+        inv_mass = jnp.asarray(inv_mass, jnp.float32)
+        return self._fn(chain_keys, init_positions, inv_mass, aux, shard_data)
+
+
 def sample_chains(
     log_prob_fn,
     init_positions: jnp.ndarray,   # (C, D)
@@ -101,7 +136,11 @@ def sample_chains(
     ``fold_in`` so results are independent of the mesh layout.
 
     Repeated calls with the same (log_prob_fn, config, hooks, mesh) reuse the
-    compiled program (see :func:`_build_chain_sampler`).
+    compiled program (see :func:`_build_chain_sampler`). CONTRACT: the cache
+    key is the IDENTITY of ``log_prob_fn``/``aux_refresh``/``grad_fn`` — a
+    rebuilt closure (even if semantically identical) recompiles and occupies
+    a new cache slot for process lifetime. Library code that samples one
+    posterior many times should hold a :class:`ChainSampler` instead.
     """
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))

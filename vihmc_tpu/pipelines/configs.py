@@ -177,6 +177,15 @@ class VIHMCRunConfig:
                                      # statistic is pmean'd so all chains
                                      # share one low-noise adapted step
                                      # (see HMCConfig.da_axis)
+    adapt_forever: bool = False      # keep dual-averaging past burn with the
+                                     # adapting iterate (diminishing
+                                     # adaptation). Fixes the
+                                     # freeze-at-the-burn-average problem:
+                                     # the averaged step is dominated by the
+                                     # tiny early-exploration iterates, so
+                                     # frozen runs land far above the
+                                     # acceptance target (measured 0.92 at a
+                                     # 0.65 target on the operator demo)
 
     @property
     def L(self) -> int:

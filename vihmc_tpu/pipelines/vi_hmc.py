@@ -92,7 +92,8 @@ def chain_inits(cfg: VIHMCRunConfig, spec: SubspaceSpec, key):
 
 
 def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forward,
-                     y_eval, samples, keep_predictions: int = 64):
+                     y_eval, samples, keep_predictions: int = 64,
+                     max_metric_samples: int = 4096):
     """Posterior-predictive evaluation of (C, S, d) or (S, d) subspace samples.
 
     Shared by live runs and the reload-and-score re-evaluation mode
@@ -107,9 +108,14 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
     """
     from vihmc_tpu.pipelines.predict import streaming_predictive_metrics
 
+    import numpy as _np
+
     like = get_likelihood(cfg.loss)
     idx = spec.idx_array
-    samples = jnp.asarray(samples)
+    # keep the full sample history HOST-side: at reference scale it is
+    # multiple GB and must not ride along to the device — only the thinned
+    # pooled subsets below are transferred
+    samples = _np.asarray(samples)
     if samples.ndim == 2:
         samples = samples[None]
     burn = cfg.burn_
@@ -122,19 +128,24 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
         return lp, pred
 
     pooled = samples[:, burn:, :].reshape(-1, spec.subspace_dim)
+    if pooled.shape[0] > max_metric_samples:
+        # bound the metric pass (device residency + S forward evals) for
+        # long runs; a uniform thinning of thousands of pooled draws leaves
+        # the expected-MSE estimates' MC error negligible
+        stride = -(-pooled.shape[0] // max_metric_samples)
+        pooled = pooled[::stride]
     metrics = jax.jit(
         lambda s: streaming_predictive_metrics(lp_and_pred, s, y_eval)
-    )(pooled)
+    )(jnp.asarray(pooled))
     mean_prediction = metrics.pop("mean_prediction")
 
     preds = None
     if keep_predictions:
         stride = max(1, pooled.shape[0] // keep_predictions)
-        thinned = pooled[::stride][:keep_predictions]
+        thinned = jnp.asarray(pooled[::stride][:keep_predictions])
         _, preds = posterior_predictive(jax.jit(lp_and_pred), thinned,
                                         chunk_size=32)
-    post = jax.device_get(samples[:, burn:, :])
-    diag = summarize_np(post)
+    diag = summarize_np(samples[:, burn:, :])
     return {
         "metrics": metrics,
         "diagnostics": diag,
@@ -327,7 +338,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                             jitter_eps=cfg.jitter_eps,
                             jitter_low_frac=cfg.jitter_low_frac,
                             max_step=cfg.max_step,
-                            da_axis=cfg.da_axis)
+                            da_axis=cfg.da_axis,
+                            adapt_forever=cfg.adapt_forever)
         if segment_size is not None:
             if mesh is not None:
                 raise ValueError("segment_size (resumable sampling) does not "
