@@ -116,7 +116,15 @@ def sample_chains_resumable(
             payload = load_checkpoint(checkpoint_dir, step0,
                                       template={"state": state})
             state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
-            collected = [np.load(os.path.join(checkpoint_dir, "samples.npy"))]
+            legacy = os.path.join(checkpoint_dir, "samples.npy")
+            seg_files = sorted(
+                f for f in os.listdir(checkpoint_dir)
+                if f.startswith("samples_seg") and f.endswith(".npy"))
+            if seg_files:
+                collected = [np.load(os.path.join(checkpoint_dir, f))
+                             for f in seg_files[:step0]]
+            elif os.path.exists(legacy):  # pre-round-2 layout
+                collected = [np.load(legacy)]
             start_seg = step0
 
     infos = {"accepted": [], "accept_prob": [], "step_size": [], "divergent": [],
@@ -133,8 +141,10 @@ def sample_chains_resumable(
             progress(seg + 1, n_segments, state)
         if checkpoint_dir is not None:
             save_checkpoint(checkpoint_dir, seg + 1, {"state": jax.device_get(state)})
-            np.save(os.path.join(checkpoint_dir, "samples.npy"),
-                    np.concatenate(collected, axis=1))
+            # one file per segment: O(segment) IO instead of rewriting the
+            # whole growing history every segment
+            np.save(os.path.join(checkpoint_dir, f"samples_seg{seg:05d}.npy"),
+                    seg_samples)
 
     samples = np.concatenate(collected, axis=1)[:, :n_total // thin]
     out_infos = {k: (np.concatenate(v, axis=1)[:, :n_total] if v else
