@@ -113,3 +113,20 @@ def test_cli_standalone_sensitivity_reevaluate_predict(tmp_path):
     preds = np.load(tmp_path / "pred" / "predictions.npy")
     assert preds.shape[0] == 5 and np.isfinite(preds).all()
     assert np.isfinite(np.load(tmp_path / "pred" / "pred_mean.npy")).all()
+
+
+def test_cli_vi_hmc_segmented_and_adaptive(tmp_path):
+    """The production recipe flags (--segment/--ckpt/--thin, coupled and
+    continuing dual averaging) flow through the vi-hmc CLI."""
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "2", "--out", out, "--uid", "d",
+               "--with-sensitivity"])
+    assert rc == 0
+    rc = main(["vi-hmc", "--artifacts", f"{out}/d", "--num-samples", "12",
+               "--num-chains", "2", "--segment", "6", "--thin", "2",
+               "--ckpt", f"{out}/ck", "--adapt-step-size", "--da-axis",
+               "--adapt-forever", "--target-accept", "0.7",
+               "--out", out, "--uid", "h"])
+    assert rc == 0
+    samples = np.load(tmp_path / "h" / "hmc_params.npy")
+    assert samples.shape[:2] == (2, 6) and np.isfinite(samples).all()  # thinned

@@ -102,6 +102,28 @@ def build_parser():
                    help="VI-Gaussian trajectory field with this alpha (zero "
                         "likelihood cost per leapfrog step; exact density at "
                         "endpoints keeps MH unbiased; 1.0 recommended)")
+    p.add_argument("--gauss-field-auto", action="store_true",
+                   help="probe the VI-Gaussian field for a few draws and "
+                        "keep it only if its MH acceptance clears the floor "
+                        "(falls back to the configured Gram/autodiff field)")
+    p.add_argument("--adapt-step-size", action="store_true",
+                   help="dual-averaging step adaptation during burn")
+    p.add_argument("--da-axis", action="store_true",
+                   help="couple dual averaging across chains (one shared "
+                        "low-noise adapted step)")
+    p.add_argument("--adapt-forever", action="store_true",
+                   help="diminishing adaptation past burn (holds the "
+                        "acceptance target instead of freezing at the "
+                        "burn-average step)")
+    p.add_argument("--target-accept", type=float, default=None)
+    p.add_argument("--segment", type=int, default=None,
+                   help="run in checkpointed segments of this many draws "
+                        "(resumable with --ckpt)")
+    p.add_argument("--ckpt", default=None,
+                   help="checkpoint dir for mid-run resume (with --segment)")
+    p.add_argument("--thin", type=int, default=1,
+                   help="keep every thin-th draw (segmented runs; bounds "
+                        "host RAM for huge subspaces)")
     p.add_argument("--mat", default=None)
 
     p = sub.add_parser("sensitivity", help="standalone sensitivity stage "
@@ -311,14 +333,23 @@ def main(argv=None):
                         clip_grad=args.clip_grad,
                         coarse_stride=args.coarse_stride,
                         fn_stride=args.fn_stride,
-                        gauss_field=args.gauss_field)
+                        gauss_field=args.gauss_field,
+                        gauss_field_auto=(True if args.gauss_field_auto
+                                          else None),
+                        adapt_step_size=(True if args.adapt_step_size
+                                         else None),
+                        da_axis="chains" if args.da_axis else None,
+                        adapt_forever=(True if args.adapt_forever else None),
+                        target_accept=args.target_accept)
+        seg_kw = dict(segment_size=args.segment, checkpoint_dir=args.ckpt,
+                      sample_thin=args.thin)
         if args.workload == "nn":
             out = vi_hmc.run_nn(cfg, C.NNVIRunConfig().model, artifacts,
-                                key=key, store=store)
+                                key=key, store=store, **seg_kw)
         else:
             out = vi_hmc.run_operator(cfg, C.OperatorVIRunConfig().model,
                                       artifacts, key=key, mat_path=args.mat,
-                                      store=store)
+                                      store=store, **seg_kw)
         _print_metrics(out["metrics"])
     elif args.command == "sensitivity":
         import os

@@ -398,7 +398,7 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
 
 def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
            mesh=None, store: Optional[RunStore] = None, segment_size=None,
-           checkpoint_dir=None, progress=None):
+           checkpoint_dir=None, progress=None, sample_thin=1, evaluate=True):
     """NN regression VI-HMC (reference main_VI_HMC.py)."""
     if cfg.coarse_stride or cfg.fn_stride:
         raise ValueError("coarse_stride/fn_stride apply to the operator "
@@ -422,6 +422,8 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
         segment_size=segment_size,
         checkpoint_dir=checkpoint_dir,
         progress=progress,
+        sample_thin=sample_thin,
+        evaluate=evaluate,
     )
     out["data"] = data
     out["apply_flat"] = apply_flat
