@@ -183,7 +183,7 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               draws=None, burn=None, use_gram: bool = True,
               adaptive: bool = False, keys=None, stride=None,
-              fn_stride=None, gauss_alpha=None):
+              fn_stride=None, gauss_alpha=None, coupled: bool = False):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -272,7 +272,18 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=spec.sub_sigma() ** 2)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
-    if adaptive:
+    if coupled:
+        # the production recipe that converged the flagship demo (round 2,
+        # scripts/run_operator_stage3.py): chain-coupled dual averaging
+        # (da_axis pmean -> one shared low-noise step), diminishing
+        # adaptation holding acceptance AT the target through sampling, and
+        # continuous step jitter over [0.5, 1] — no hand-tuned step at all
+        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
+                            step_size=0.1, burn=n_burn, sampler="hmc_nuts",
+                            target_accept=0.65, da_axis="chains",
+                            adapt_forever=True, jitter_eps=True,
+                            jitter_low_frac=0.5)
+    elif adaptive:
         # legacy round-1 adaptive config (kept for cross-round comparability)
         hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
                             step_size=1e-4, burn=n_burn, sampler="hmc_nuts",
@@ -743,6 +754,11 @@ def main():
     ap.add_argument("--adaptive", action="store_true",
                     help="legacy round-1 adaptive config (hmc_nuts@0.55 from "
                          "step 1e-4) instead of the fixed jittered headline")
+    ap.add_argument("--coupled", action="store_true",
+                    help="the flagship-demo production recipe: chain-coupled "
+                         "dual averaging @0.65 + diminishing adaptation + "
+                         "step jitter, on the dual-stride Gram trajectory "
+                         "field (no hand-tuned step)")
     ap.add_argument("--gauss-field", type=float, nargs="?", const=1.0,
                     default=None, metavar="ALPHA",
                     help="VI-Gaussian trajectory field -(q-mu)/(ALPHA sigma^2)"
@@ -760,8 +776,13 @@ def main():
     if args.gauss_field is not None and (args.stride or args.fn_stride):
         ap.error("--gauss-field replaces the Gram trajectory oracle; "
                  "--stride/--fn-stride do not apply")
+    if args.coupled and (args.gauss_field is not None or args.no_gram
+                         or args.adaptive):
+        ap.error("--coupled runs the dual-stride Gram trajectory field; "
+                 "it composes with --stride/--fn-stride only")
     if args.gauss_field is None and not (args.stride or args.fn_stride
-                                         or args.no_gram or args.adaptive):
+                                         or args.no_gram or args.adaptive
+                                         or args.coupled):
         # headline default: the VI-Gaussian trajectory field (docstring);
         # any explicit trajectory-field flag opts out
         args.gauss_field = BENCH_GAUSS_ALPHA
@@ -782,7 +803,7 @@ def main():
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
                              use_gram=not args.no_gram, adaptive=args.adaptive,
                              stride=args.stride, fn_stride=args.fn_stride,
-                             gauss_alpha=args.gauss_field)
+                             gauss_alpha=args.gauss_field, coupled=args.coupled)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

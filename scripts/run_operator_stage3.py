@@ -74,15 +74,21 @@ def main():
     from vihmc_tpu.io import RunStore
 
     model = DeepONetConfig()
-    art_root, art_uid = os.path.split(args.artifacts.rstrip("/"))
-    art = RunStore.open(art_root or ".", art_uid)
-    artifacts = {"mu": art.load_array("means_flattened"),
-                 "sigma": art.load_array("stds_flattened"),
-                 "indices": art.load_array("gradient_indices")}
-    d_sub = len(artifacts["indices"])
-
-    # data params recorded by stage12 (assets bundle is the authority)
     meta = np.load("assets/burgers_stage12.npz")
+    if os.path.isdir(args.artifacts):
+        art_root, art_uid = os.path.split(args.artifacts.rstrip("/"))
+        art = RunStore.open(art_root or ".", art_uid)
+        artifacts = {"mu": art.load_array("means_flattened"),
+                     "sigma": art.load_array("stds_flattened"),
+                     "indices": art.load_array("gradient_indices")}
+    else:
+        # stage-1/2 RunStore dir absent: the committed asset bundle carries
+        # the same mu/sigma/index artifacts (scripts/run_operator_stage12.py)
+        print(f"[artifacts] {args.artifacts} missing; using "
+              "assets/burgers_stage12.npz", flush=True)
+        artifacts = {"mu": meta["mu"], "sigma": meta["sigma"],
+                     "indices": meta["indices"]}
+    d_sub = len(artifacts["indices"])
     n_train, n_valid = int(meta["n_train"]), int(meta["n_valid"])
     nx, nt = int(meta["nx"]), int(meta["nt"])
     t0 = time.time()

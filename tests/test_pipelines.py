@@ -22,6 +22,7 @@ from vihmc_tpu.pipelines.postprocess import (
     l2_relative_error,
     error_report,
     error_sigma_correlation,
+    function_space_diagnostics,
     stack_runs,
 )
 from vihmc_tpu.io import RunStore
@@ -301,3 +302,29 @@ def test_stack_runs(tmp_path):
     s2.save_array("hmc_params", np.ones((2, 10, 3)))  # (C,S,D)
     stacked = stack_runs([s1, s2], burn=5)
     assert stacked.shape == (5 + 2 * 5, 3)
+
+
+def test_function_space_diagnostics_symmetry_invariant():
+    """Sign-flipped chains of f(x) = a*tanh(b*x) are different weight-space
+    modes but the SAME predictive function: weight-space R-hat must flag
+    them, function-space R-hat must not (the flagship-demo convergence
+    measure; scripts/fs_diagnostics_operator.py)."""
+    from vihmc_tpu.chains import potential_scale_reduction_np
+
+    rng = np.random.default_rng(0)
+    base = rng.normal([1.0, 1.0], 0.05, size=(2, 200, 2))  # 2 chains near (1,1)
+    flipped = -base[1]                                     # symmetric image
+    samples = np.stack([base[0], flipped])                 # (2, 200, 2)
+
+    rhat_w = potential_scale_reduction_np(samples)
+    assert np.max(rhat_w) > 2.0  # weight space correctly screams
+
+    x_probe = jnp.linspace(-1.0, 1.0, 8)
+
+    def predict_fn(q):
+        return q[0] * jnp.tanh(q[1] * x_probe)
+
+    diag = function_space_diagnostics(samples, predict_fn, thin=2, chunk=64)
+    assert diag["probes"].shape == (2, 100, 8)
+    assert float(np.nanmax(diag["r_hat"])) < 1.05
+    assert float(np.nanmax(diag["r_hat_rank"])) < 1.05

@@ -62,6 +62,46 @@ def error_sigma_correlation(preds, truth, nt: int, nx: int) -> dict:
             "sigma": sigma, "abs_error": abs_err}
 
 
+def function_space_diagnostics(samples, predict_fn, thin: int = 1,
+                               chunk: int = 256) -> dict:
+    """Convergence diagnostics in FUNCTION space: the full Vehtari-2021
+    battery (split-R-hat, rank R-hat, bulk/tail ESS) computed on posterior
+    PREDICTIVE probe outputs instead of raw weight coordinates.
+
+    Bayesian-network weight posteriors carry exact and near-exact symmetries
+    (hidden-unit sign flips under odd activations; per-channel structure in
+    the DeepONet dot-product merge) that make them genuinely multimodal in
+    weight space while every mode realizes the same predictive function.
+    Weight-space R-hat then correctly reports that a single HMC chain cannot
+    visit all symmetric images — but that says nothing about convergence of
+    the quantity the reference actually consumes, the posterior predictive
+    (main_VI_HMC_burgers.py:286-301, which validates purely through
+    predictions). Probe-output diagnostics are invariant to those symmetries
+    and measure mixing of the predictive law itself.
+
+    ``samples``: (C, S, d) subspace draws. ``predict_fn(q) -> (P,)`` maps one
+    draw to probe outputs (e.g. the DeepONet forward at a fixed set of
+    (function, query-point) pairs, frozen coordinates at the VI mean).
+    Returns the :func:`vihmc_tpu.chains.summarize_np` dict over the
+    (C, S//thin, P) probe traces plus the traces themselves.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.chains import summarize_np
+
+    x = np.asarray(samples)[:, ::thin, :]
+    c, s, d = x.shape
+    flat = x.reshape(c * s, d)
+    fn = jax.jit(jax.vmap(predict_fn))
+    outs = [np.asarray(fn(jnp.asarray(flat[i: i + chunk])))
+            for i in range(0, flat.shape[0], chunk)]
+    probes = np.concatenate(outs, axis=0).reshape(c, s, -1)
+    diag = summarize_np(probes)
+    diag["probes"] = probes
+    return diag
+
+
 def stack_runs(stores, name: str = "hmc_params", burn: int = 0) -> np.ndarray:
     """Stack post-burn samples across runs (reference fnames.txt workflow,
     post_process_burgers.py:261-289). ``stores``: RunStore sequence."""
