@@ -100,6 +100,10 @@ import os
 STAGE12_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "assets", "burgers_stage12.npz")
 
+#: same contract for the secondary NN workload (scripts/run_nn_stage12.py)
+NN_STAGE12_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "assets", "nn_stage12.npz")
+
 #: provenance of the posterior built by the most recent build_problem call
 #: (kept out of the return tuple for script compatibility)
 LAST_PROBLEM_PROVENANCE = {}
@@ -430,9 +434,12 @@ def bench_grad_path(quick: bool, iters: int = 30):
 
 def build_nn_problem(quick: bool = False):
     """Shared NN-workload problem (bench_nn + the scripts/tpu_nn_* sweeps):
-    141-param tanh MLP, 20-point regression data, VI-style mu/sigma, and the
-    78-dim subspace the reference's 90% threshold selects. Returns
-    (mlp_cfg, apply_flat, x, y, mu, sigma, idx)."""
+    141-param tanh MLP, 20-point regression data, the REAL VI-fit mu/sigma
+    and sensitivity-selected subspace from the committed
+    ``assets/nn_stage12.npz`` (scripts/run_nn_stage12.py; reference-exact
+    stage-1/2 configs). Falls back to a synthetic posterior only in quick
+    mode or when the asset is missing (flagged in LAST_PROBLEM_PROVENANCE).
+    Returns (mlp_cfg, apply_flat, x, y, mu, sigma, idx)."""
     import jax
     import jax.numpy as jnp
 
@@ -440,15 +447,29 @@ def build_nn_problem(quick: bool = False):
     from vihmc_tpu.models import MLPConfig
     from vihmc_tpu.pipelines.common import make_flat_mlp
 
+    global LAST_PROBLEM_PROVENANCE
     mlp = MLPConfig()
     apply_flat, flat0, _ = make_flat_mlp(mlp)
     d = flat0.shape[0]
     data = regression_data(jax.random.key(0), 20, 300, noise_std=5e-2)
-    rng = np.random.default_rng(0)
-    mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
-    sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
-    sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
-    idx = np.sort(rng.choice(d, size=sub, replace=False))
+    if not quick and os.path.exists(NN_STAGE12_ASSETS):
+        z = np.load(NN_STAGE12_ASSETS)
+        mu = jnp.asarray(z["mu"])
+        sigma = jnp.asarray(z["sigma"])
+        idx = np.asarray(z["indices"])
+        LAST_PROBLEM_PROVENANCE = {
+            "posterior": "vi_fit",
+            "assets": os.path.basename(NN_STAGE12_ASSETS),
+            "vi_valid_mse_best": float(np.min(z["vi_valid_mse"])),
+            "subspace": f"{len(idx)}/{d} at the 90% sensitivity threshold",
+        }
+    else:
+        rng = np.random.default_rng(0)
+        mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
+        sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
+        sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
+        idx = np.sort(rng.choice(d, size=sub, replace=False))
+        LAST_PROBLEM_PROVENANCE = {"posterior": "synthetic"}
     return mlp, apply_flat, data["x_train"], data["y_train"], mu, sigma, idx
 
 
@@ -532,6 +553,7 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
         "chains": n_chains,
         "draws": n_samples,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
+        "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
     if not skip_baseline:
         try:
