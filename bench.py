@@ -798,10 +798,9 @@ def main():
     if args.gauss_field is not None and (args.stride or args.fn_stride):
         ap.error("--gauss-field replaces the Gram trajectory oracle; "
                  "--stride/--fn-stride do not apply")
-    if args.coupled and (args.gauss_field is not None or args.no_gram
-                         or args.adaptive):
-        ap.error("--coupled runs the dual-stride Gram trajectory field; "
-                 "it composes with --stride/--fn-stride only")
+    if args.coupled and (args.no_gram or args.adaptive):
+        ap.error("--coupled needs a surrogate trajectory field; it composes "
+                 "with --stride/--fn-stride (default) or --gauss-field")
     if args.gauss_field is None and not (args.stride or args.fn_stride
                                          or args.no_gram or args.adaptive
                                          or args.coupled):
