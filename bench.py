@@ -4,33 +4,33 @@ North-star metric (BASELINE.md): effective samples per second per chip for
 the flagship subspace VI-HMC pipeline at reference scale (~172k-param
 DeepONet, 1000 training functions x 10201 query points, subspace ~2k dims).
 
-Headline configuration (round-1 final; sweep history in
-docs/performance.md + scripts/tpu_headline_variant.py):
+Headline configuration (round 2; the posterior is built from the REAL
+committed stage-1/2 artifacts — real VI fit, real sensitivity subspace,
+real Burgers targets — and every number below is measured on it;
+real-posterior table in docs/performance.md):
 
-* **VI-Gaussian trajectory field** (variant G; ``hmc.gaussian_field_grad``):
-  the leapfrog field is the VI posterior's score ``-(q - mu)/sigma^2`` over
-  the sensitive subspace — ZERO likelihood evaluations per leapfrog step.
-  The exact full-grid density at trajectory endpoints decides MH, so the
-  sampler remains unbiased for the true posterior (a deterministic field
-  gives a reversible, volume-preserving leapfrog; statistical exactness
-  test in tests/test_gram.py). Composed with the preconditioned norm clip
-  (rarely binds — the Gaussian field is bounded-drift by design).
-* Fixed step 0.12 (the d^-1/4 rule on the VI-preconditioned subspace) with
-  trajectory length jittered uniformly over [L/2, L], L=31 — jitter kills
-  the fixed-L resonances that made frozen-dual-averaging ESS swing ~10x
-  across PRNG keys.
-* The reported value is the MEDIAN ESS/s over three PRNG keys (measured
-  per-key pooled ESS at this config: ~2500 of the 3072 ceiling at
-  acceptance ~0.49, reproducible across keys; per-key ESS/s 1097/1531/2314
-  — the spread is wall-clock jitter on this tunnel backend, not ESS).
+* **The coupled-DA production recipe** (``--coupled``; the same recipe that
+  converged the flagship demo, scripts/run_operator_stage3.py): dual-stride
+  (5/5) Gram surrogate trajectory field with exact full-grid density at
+  trajectory endpoints (MH stays unbiased; statistical exactness test in
+  tests/test_gram.py), chain-coupled dual averaging (``da_axis='chains'``:
+  the accept statistic is pmean'd across chains, one shared low-noise
+  step), diminishing adaptation holding acceptance AT the 0.65 target
+  through sampling, continuous step jitter over [0.5, 1] — **no hand-tuned
+  step size anywhere**. Measured 19.3 ESS/s with a +-1% key spread at
+  acceptance 0.645.
+* The reported value is the MEDIAN ESS/s over three PRNG keys.
 
-Fallback trajectory fields, in decreasing ESS/s (all use the same exact-MH
-endpoints): ``--stride 5 --fn-stride 5`` — the dual-stride Gram surrogate
-(400.6 ESS/s; every 5th query point AND every 5th training function,
-rescaled), the previous headline, which is the right tool when the VI fit
-is too poor for the Gaussian field's acceptance to survive;
-``--stride 1 --fn-stride 1`` — full-grid Gram gradients (67.8 ESS/s);
-``--no-gram`` — plain autodiff through the composed likelihood.
+Other trajectory fields (all use the same exact-MH endpoints):
+``--gauss-field`` — the VI-Gaussian score field (zero likelihood cost per
+leapfrog step; round-1's headline). On the real posterior its fixed
+d^-1/4 step gets acceptance 0.31 and 70.5 ESS/s with a +-45% key spread —
+higher median than the headline but posterior-dependent and unstable, which
+is why the pipeline-level ``gauss_field_auto`` probes it before trusting
+it; ``--stride 5 --fn-stride 5`` — the dual-stride surrogate at a fixed
+0.12 step (10.0 ESS/s, tight spread); ``--stride 1 --fn-stride 1`` —
+full-grid Gram gradients; ``--no-gram`` — plain autodiff through the
+composed likelihood.
 
 ``vs_baseline`` is the sampling-throughput ratio (draws/s on the same
 posterior at the same trajectory length) against a faithful torch-CPU
@@ -804,9 +804,13 @@ def main():
     if args.gauss_field is None and not (args.stride or args.fn_stride
                                          or args.no_gram or args.adaptive
                                          or args.coupled):
-        # headline default: the VI-Gaussian trajectory field (docstring);
-        # any explicit trajectory-field flag opts out
-        args.gauss_field = BENCH_GAUSS_ALPHA
+        # headline default (round 2): the coupled-DA production recipe on
+        # the dual-stride trajectory field — measured on the REAL posterior
+        # 19.3 ESS/s with a +-1% key spread at target acceptance, vs the
+        # round-1 Gaussian-field config's 70.5 median with +-45% spread and
+        # acceptance 0.31 (docs/performance.md round-2 table). Any explicit
+        # trajectory-field flag opts out.
+        args.coupled = True
 
     if args.workload == "nn":
         nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline)
