@@ -90,6 +90,106 @@ BENCH_TARGET_ACCEPT = 0.55  # legacy adaptive config (--adaptive)
 #: current posterior; a full-grid run sets/overrides it live.
 LIKE_FOR_LIKE_MEASURED = None
 
+#: jax full-grid (--stride 1 --fn-stride 1) ESS/s on the real posterior —
+#: the numerator of the like-for-like ratio in the NORTH-STAR metric
+#: (round-2 VERDICT item 5). Set from the same on-chip run as
+#: LIKE_FOR_LIKE_MEASURED.
+FULLGRID_ESS_MEASURED = None
+
+#: torch-CPU pooled ESS/s at the SAME full-grid kernel config (step/L/jitter
+#: identical to the jax `--stride 1 --fn-stride 1` run), measured offline
+#: with ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench.py
+#: --torch-ess <seconds>`` (a CPU-only job; the operator chain draws ~0.1
+#: draws/s so ESS needs a dedicated long run). Single torch chain vs 32
+#: vectorized jax chains — the same per-process comparison the draws/s
+#: ratio makes.
+TORCH_ESS_MEASURED = None
+
+#: the reference-scale 90%-captured-variance subspace row (the configuration
+#: the reference actually samples: Operator_network/VI/config_sens.py:33 +
+#: VI_HMC/main_VI_HMC_burgers.py:283). Measured on-chip with
+#: ``python bench.py --subspace 90pct``; the default 2048-dim headline JSON
+#: carries this dict under extras["subspace_90pct"] so BOTH subspace rows
+#: ride in every bench JSON (round-2 VERDICT item 1).
+NINETYPCT_MEASURED = None
+
+#: bf16 MXU peak FLOP/s by TPU generation (device_kind substring match,
+#: public spec sheets). MFU is reported against the bf16 peak: on these
+#: chips fp32 matmuls ride the same MXU datapath (multi-pass), so bf16 peak
+#: is the fixed hardware ceiling the utilization is honestly judged against.
+_PEAK_FLOPS = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v4", 275e12),
+)
+
+
+def _device_peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    low = kind.lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in low:
+            return kind, peak
+    return kind, None
+
+
+def _sampling_flops(log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state,
+                    inits, aux0, inv_mass, n_samples):
+    """Model-FLOP count of the timed sampling computation, from XLA HLO cost
+    analysis of the same jitted program the bench executes
+    (``jax.stages.Lowered.cost_analysis`` — an unoptimized-HLO count; fusion
+    reorganizes memory traffic, not FLOPs). HLO cost analysis counts a
+    while-loop body ONCE regardless of trip count (verified empirically:
+    flops(20 draws) == flops(40 draws)), so the lowered count — init work +
+    one scan-body execution = one draw across all vmapped chains — is
+    multiplied by the total draw count here. The init work (one gradient
+    eval) overstates the total by <1 draw-equivalent per compiled dispatch.
+    Round-2 VERDICT item 2: without this the utilization headroom of the
+    sampler is invisible."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    if n_samples > seg:
+        from vihmc_tpu.chains.resume import _build_segment_runner
+
+        runner = _build_segment_runner(
+            log_prob, dataclasses.replace(hmc_cfg, num_samples=0), seg,
+            refresh, grad_fn)
+        low = runner.lower(warm_state, jnp.asarray(0), jax.random.key(0),
+                           inv_mass)
+    else:
+        from vihmc_tpu.chains.parallel import _build_chain_sampler
+
+        fn = _build_chain_sampler(log_prob, hmc_cfg, refresh, None, None,
+                                  grad_fn)
+        chain_keys = jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.key(0), i))(
+                jnp.arange(inits.shape[0]))
+        low = fn.lower(chain_keys, inits, inv_mass, aux0, None)
+    ca = low.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca["flops"]) * n_samples
+
+
+def _mfu_stats(total_flops, wall_s, n_chains, n_samples):
+    """MFU summary dict: achieved model FLOP/s over the measured wall clock
+    against the chip's bf16 peak."""
+    kind, peak = _device_peak_flops()
+    achieved = total_flops / wall_s
+    return {
+        "model_flops_total": total_flops,
+        "flops_per_draw_per_chain": round(total_flops / (n_chains * n_samples)),
+        "achieved_tflops": round(achieved / 1e12, 4),
+        "device_kind": kind,
+        "peak_tflops_bf16": round(peak / 1e12, 1) if peak else None,
+        "mfu": round(achieved / peak, 5) if peak else None,
+    }
+
 
 import os
 
@@ -114,9 +214,12 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
     artifacts: the VI posterior the sensitivity stage actually scored, with
     the top-``sub_dim`` most-sensitive parameters as the HMC subspace and
     the actual generated-Burgers solutions as the likelihood target — the
-    same posterior family the flagship demo samples
-    (the demo's 90%-captured-variance set is ~81k dims; the bench keeps the
-    top-2048 for cross-round comparability with round 1's tuning).
+    same posterior family the flagship demo samples. ``sub_dim="90pct"``
+    selects the committed 90%-captured-variance index set instead (the
+    configuration the reference actually runs,
+    Operator_network/VI_HMC/main_VI_HMC_burgers.py:283 +
+    VI/config_sens.py:33; ~81k dims); the default top-2048 is kept for
+    cross-round comparability with round 1's tuning.
     Falls back to the round-1 synthetic problem only if the asset bundle is
     missing (flagged in LAST_PROBLEM_PROVENANCE / the bench JSON)."""
     import jax
@@ -154,17 +257,29 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
         y = train_split["solution"]
         mu = jnp.asarray(z["mu"])
         sigma = jnp.asarray(z["sigma"])
-        idx = np.sort(np.argsort(-z["scores"])[:sub_dim])
+        if sub_dim == "90pct":
+            # the index set stage 2 selected at the 90% captured-variance
+            # threshold — the subspace the reference's VI-HMC samples
+            idx = np.sort(np.asarray(z["indices"]))
+            sub_desc = (f"90%-captured-variance set ({len(idx)} of "
+                        f"{len(z['scores'])})")
+        else:
+            idx = np.sort(np.argsort(-z["scores"])[:sub_dim])
+            sub_desc = f"top-{sub_dim} of {len(z['scores'])} by sensitivity score"
         LAST_PROBLEM_PROVENANCE = {
             "posterior": "vi_fit",
             "assets": os.path.basename(STAGE12_ASSETS),
             "vi_valid_mse_best": float(np.min(z["vi_valid_mse"])),
-            "subspace": f"top-{sub_dim} of {len(z['scores'])} by "
-                        f"sensitivity score",
+            "subspace": sub_desc,
         }
         return (cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx,
                 n_chains, n_samples)
 
+    if sub_dim == "90pct":
+        raise FileNotFoundError(
+            f"--subspace 90pct needs the stage-1/2 asset bundle "
+            f"({STAGE12_ASSETS}); the synthetic fallback has no "
+            f"captured-variance index set")
     if not quick:
         print(f"# WARNING: {STAGE12_ASSETS} missing; falling back to the "
               f"synthetic round-1 posterior", file=sys.stderr)
@@ -187,7 +302,9 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
 def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               draws=None, burn=None, use_gram: bool = True,
               adaptive: bool = False, keys=None, stride=None,
-              fn_stride=None, gauss_alpha=None, coupled: bool = False):
+              fn_stride=None, gauss_alpha=None, coupled: bool = False,
+              sub_dim=None, chains=None, segment=None,
+              windowed_mass: bool = False):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -206,7 +323,9 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
-        build_problem(quick, compute_dtype, draws=draws)
+        build_problem(quick, compute_dtype, draws=draws, sub_dim=sub_dim)
+    if chains is not None:
+        n_chains = chains
     n_burn = (n_samples // 5) if burn is None else burn
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
@@ -286,7 +405,16 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                             step_size=0.1, burn=n_burn, sampler="hmc_nuts",
                             target_accept=0.65, da_axis="chains",
                             adapt_forever=True, jitter_eps=True,
-                            jitter_low_frac=0.5)
+                            jitter_low_frac=0.5,
+                            # --windowed-mass: Stan-style doubling windows
+                            # with the Welford estimate POOLED across the
+                            # chain axis (C chains x window draws of data
+                            # per marginal variance), shrunk toward the VI
+                            # preconditioner — the round-2 VERDICT weak-item
+                            # 3 lever, retried at 360-draw scale
+                            adapt_mass=windowed_mass,
+                            mass_schedule="windowed" if windowed_mass else "half",
+                            metric_axis="chains" if windowed_mass else None)
     elif adaptive:
         # legacy round-1 adaptive config (kept for cross-round comparability)
         hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
@@ -303,7 +431,11 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     # segmentation is also how chains/resume.py recommends running long
     # chains in production). ESS/elapsed methodology is unchanged: elapsed
     # covers every segment including burn.
-    seg = 120
+    # at the 90%-subspace scale (81k dims) a 120-draw segment's sample output
+    # alone is (32, 120, 81131) fp32 = 1.25 GB of HBM + host transfer per
+    # segment; 60 halves the footprint (the flagship demo ran 84-draw
+    # segments at 24 chains clean)
+    seg = segment if segment is not None else (120 if len(idx) <= 16384 else 60)
     if n_samples > seg:
         def run(key, n=n_samples):
             cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
@@ -328,6 +460,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     try:
         res = warmup(jax.random.key(1))
         np.asarray(res.samples)
+        warm_state = res.final_state
     except Exception as e:
         if use_fused and compute_dtype is None:
             print(f"# fused likelihood failed ({type(e).__name__}); "
@@ -386,10 +519,24 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                 n_chains * n_samples * (BENCH_L + 1) / elapsed
         per_key.append(stats_k)
 
-    # headline = the median-ESS/s key's full stats (robust to per-key luck)
-    per_key.sort(key=lambda s: s["ess_per_s"])
+    # representative key = median pooled ESS (robust to per-key luck), but
+    # the HEADLINE separates the two noise sources (round-2 VERDICT item 7):
+    # pooled ESS is deterministic per PRNG key while wall clock carries
+    # +-35% tunnel jitter on this backend, so value = median-ESS /
+    # median-wall, with each list reported alongside its spread.
+    per_key.sort(key=lambda s: s["ess_median"])
     stats = dict(per_key[len(per_key) // 2])
+    ess_k = sorted(s["ess_median"] for s in per_key)
+    wall_k = sorted(s["elapsed_s"] for s in per_key)
+    med_ess = float(np.median(ess_k))
+    med_wall = float(np.median(wall_k))
     stats.update({
+        "ess_per_s": med_ess / med_wall,
+        "ess_median_by_key": [round(e, 1) for e in ess_k],
+        "wall_s_by_key": [round(w, 2) for w in wall_k],
+        "wall_s_median": round(med_wall, 3),
+        "wall_spread_frac": (round((wall_k[-1] - wall_k[0]) / med_wall, 3)
+                             if len(wall_k) > 1 else 0.0),
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
@@ -397,6 +544,14 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
+    try:
+        total_flops = _sampling_flops(
+            log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state, inits,
+            aux0, spec.sub_sigma() ** 2, n_samples)
+        stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
+    except Exception as e:  # MFU is best-effort; never kill the bench
+        print(f"# mfu measurement failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return stats, (cfg, mu, sigma, idx)
 
 
@@ -467,7 +622,10 @@ def build_nn_problem(quick: bool = False):
         rng = np.random.default_rng(0)
         mu = jnp.asarray(0.1 * rng.normal(size=d), jnp.float32)
         sigma = jnp.asarray(0.05 + 0.05 * rng.random(d), jnp.float32)
-        sub = 16 if quick else 78  # reference: 78/141 at the 90% threshold
+        sub = 16 if quick else 78  # asset-defined normally (the committed
+                                   # asset selects 77/141 at the 90%
+                                   # threshold); 78 was the round-1 demo's
+                                   # selection, kept for the no-asset fallback
         idx = np.sort(rng.choice(d, size=sub, replace=False))
         LAST_PROBLEM_PROVENANCE = {"posterior": "synthetic"}
     return mlp, apply_flat, data["x_train"], data["y_train"], mu, sigma, idx
@@ -475,8 +633,9 @@ def build_nn_problem(quick: bool = False):
 
 def bench_nn(quick: bool, skip_baseline: bool = False):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
-    subspace VI-HMC on the 141-param regression MLP (subspace 78/141 @ 90%
-    captured variance, NLL tau_out=5e-2^2, refresh policy).
+    subspace VI-HMC on the 141-param regression MLP (asset-defined subspace
+    at the 90% captured-variance threshold, NLL tau_out=5e-2^2, refresh
+    policy).
 
     Headline configuration (tuned on-chip, scripts/tpu_nn_tune*.py): the
     model is latency-bound on a chip (wall clock ~flat in chains up to 1024
@@ -510,13 +669,12 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
-    # 120 draws matches the operator bench methodology. Same robustness
-    # recipe as the operator headline: fixed d^-1/4-scale step, [L/2, L]
-    # trajectory jitter, clipped trajectory gradients (tail-trap escape),
-    # median over three keys. Chains/L tuned on-chip (docstring above).
-    # 360 draws: same steady-state methodology as the operator bench
-    # (round-1 VERDICT item 3) — at 120 draws the per-key ESS/s spread on
-    # the real posterior was +-27%
+    # Same robustness recipe as the operator headline: fixed d^-1/4-scale
+    # step, [L/2, L] trajectory jitter, clipped trajectory gradients
+    # (tail-trap escape), median over three keys. Chains/L tuned on-chip
+    # (docstring above). 360 draws: the steady-state methodology of the
+    # operator bench (round-1 VERDICT item 3) — at 120 draws the per-key
+    # ESS/s spread on the real posterior was +-27%
     n_chains, n_samples, L, step = (4, 20, 8, 0.1) if quick else (1024, 360, 96, 0.1)
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
@@ -534,6 +692,7 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
 
     res = run(jax.random.key(1))
     np.asarray(res.samples)
+    warm_state = res.final_state
     per_key = []
     for k in ((2,) if quick else BENCH_KEYS):
         t0 = time.perf_counter()
@@ -549,36 +708,76 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
             "ess_per_s": float(np.median(ess)) / elapsed,
             "acceptance": float(res.acceptance_rate),
         })
-    per_key.sort(key=lambda s: s["ess_per_s"])
+    # same split-metric schema as the operator bench (VERDICT r2 item 7):
+    # pooled ESS per key (deterministic) / median wall (the jittery part)
+    per_key.sort(key=lambda s: s["ess_median"])
     stats = dict(per_key[len(per_key) // 2])
+    ess_k = sorted(s["ess_median"] for s in per_key)
+    wall_k = sorted(s["elapsed_s"] for s in per_key)
+    med_ess, med_wall = float(np.median(ess_k)), float(np.median(wall_k))
     stats.update({
+        "ess_per_s": med_ess / med_wall,
+        "ess_median_by_key": [round(e, 1) for e in ess_k],
+        "wall_s_by_key": [round(w, 2) for w in wall_k],
+        "wall_s_median": round(med_wall, 3),
+        "wall_spread_frac": (round((wall_k[-1] - wall_k[0]) / med_wall, 3)
+                             if len(wall_k) > 1 else 0.0),
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
+    try:
+        total_flops = _sampling_flops(log_prob, cfg, n_samples, refresh,
+                                      grad_fn, warm_state, inits, aux0,
+                                      spec.sub_sigma() ** 2, n_samples)
+        stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
+    except Exception as e:
+        print(f"# mfu measurement failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     if not skip_baseline:
         try:
+            # collect the torch chain and compute its pooled ESS too: the NN
+            # chain draws fast enough (~12 draws/s at L=96) that the
+            # like-for-like ratio in the NORTH-STAR metric (ESS/s, not
+            # draws/s) is directly measurable here (VERDICT r2 item 5)
             tb = bench_torch_baseline_nn(
                 x, y, mu, sigma, idx, L, float(cfg.step_size), n_samples,
-                ref_forward=lambda f: apply_flat(f, x))
+                ref_forward=lambda f: apply_flat(f, x), collect=True,
+                jitter_low_frac=BENCH_JITTER_LOW)
             if tb is not None:
                 stats["torch_cpu_samples_per_s"] = tb["samples_per_s"]
                 stats["vs_baseline"] = stats["samples_per_s"] / tb["samples_per_s"]
+                sam = tb.get("samples")
+                if sam is not None and sam.shape[0] >= 100:
+                    t_post = sam[None, sam.shape[0] // 5:, :]
+                    t_ess = float(np.median(effective_sample_size_np(t_post)))
+                    stats["torch_cpu_ess_per_s"] = t_ess / tb["elapsed_s"]
+                    stats["vs_baseline_ess_like_for_like"] = round(
+                        stats["ess_per_s"] / stats["torch_cpu_ess_per_s"], 2)
         except Exception as e:  # baseline failure must not kill the bench
             print(f"# nn baseline failed: {e}", file=sys.stderr)
     return stats
 
 
 def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
-                      n_samples, max_seconds):
+                      n_samples, max_seconds, collect: bool = False,
+                      jitter_low_frac=None):
     """Time the torch-CPU HMC loop shared by both workload baselines.
 
     Identical kernel semantics to the jax sampler (vihmc_tpu/hmc/kernel.py):
     frozen-coordinate refresh each draw, momentum ~ N(0, M) with
     M = 1/inv_mass, L leapfrog steps, MH accept. Reports the MEDIAN per-draw
     time so transient host contention doesn't skew the baseline either way.
+
+    ``collect=True`` additionally returns the chain itself (``samples``,
+    (n_done, D) float32) so the caller can compute the torch-side ESS — the
+    like-for-like comparison in the north-star metric.
+    ``jitter_low_frac``: per-draw trajectory length ~ U[frac*L, L] matching
+    the jax recipe's resonance-breaking jitter (the jax kernel masks its
+    jittered tail so it still pays L gradient evals; the torch loop skips
+    them, which only flatters the baseline's draws/s).
     """
     import statistics
 
@@ -593,15 +792,20 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
     q = q0.clone()
     n_done = 0
     draw_times = []
+    chain = [] if collect else None
     t0 = time.perf_counter()
     while n_done < n_samples and time.perf_counter() - t0 < max_seconds:
         td = time.perf_counter()
+        l_eff = L
+        if jitter_low_frac:
+            lo = max(1, int(jitter_low_frac * L))
+            l_eff = int(torch.randint(lo, L + 1, ()).item())
         frozen = draw_frozen()  # refresh policy
         lp0, g = grad_lp(q, frozen)
         p = torch.randn_like(q) / inv_mass.sqrt()
         q_new, p_new, g_new = q.clone(), p.clone(), g.clone()
         lp1 = lp0
-        for _ in range(L):
+        for _ in range(l_eff):
             p_new = p_new + 0.5 * step * g_new
             q_new = q_new + step * inv_mass * p_new
             lp1, g_new = grad_lp(q_new, frozen)
@@ -611,14 +815,20 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
         if torch.isfinite(delta) and torch.log(torch.rand(())) < delta:
             q = q_new
         n_done += 1
+        if collect:
+            chain.append(q.detach().to(torch.float32).clone())
         draw_times.append(time.perf_counter() - td)
     per_draw = statistics.median(draw_times) if draw_times else float("inf")
-    return {"elapsed_s": time.perf_counter() - t0,
-            "samples_per_s": 1.0 / per_draw, "draws": n_done}
+    out = {"elapsed_s": time.perf_counter() - t0,
+           "samples_per_s": 1.0 / per_draw, "draws": n_done}
+    if collect and chain:
+        out["samples"] = torch.stack(chain).numpy()
+    return out
 
 
 def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
-                            ref_forward=None, max_seconds: float = 120.0):
+                            ref_forward=None, max_seconds: float = 120.0,
+                            collect: bool = False, jitter_low_frac=None):
     """Identical NN posterior + kernel in torch on CPU (reference substrate).
 
     Mirrors ``bench_nn``'s posterior: 141-param tanh MLP (NLL likelihood,
@@ -685,11 +895,21 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
 
     return _torch_hmc_timing(
         log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
-        mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds)
+        mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds,
+        collect=collect, jitter_low_frac=jitter_low_frac)
 
 
-def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
-    """Identical posterior + kernel in torch on CPU (reference substrate)."""
+def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
+                         collect: bool = False, step: float = 1e-4,
+                         jitter_low_frac=None):
+    """Identical posterior + kernel in torch on CPU (reference substrate).
+
+    Default mode times draws/s at a reference-scale step. With
+    ``collect=True`` + ``step=BENCH_STEP`` + ``jitter_low_frac=0.5`` the
+    loop instead runs the SAME kernel config as the jax full-grid
+    (``--stride 1 --fn-stride 1``) bench and returns the chain so its ESS/s
+    can be measured — the ``--torch-ess`` offline mode (VERDICT r2 item 5).
+    """
     import torch
 
     torch.manual_seed(0)
@@ -755,8 +975,8 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0):
     # same trajectory cost (L leapfrog steps per draw) as the jax headline
     return _torch_hmc_timing(
         log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
-        mu_t[idx_t], sigma_t[idx_t] ** 2, 1e-4, BENCH_L, n_samples,
-        max_seconds)
+        mu_t[idx_t], sigma_t[idx_t] ** 2, step, BENCH_L, n_samples,
+        max_seconds, collect=collect, jitter_low_frac=jitter_low_frac)
 
 
 def main():
@@ -773,6 +993,24 @@ def main():
                     help="override total draws (operator workload)")
     ap.add_argument("--burn", type=int, default=None,
                     help="override burn/adaptation draws (default draws//5)")
+    ap.add_argument("--subspace", default=None,
+                    help="subspace size: an int (top-k by sensitivity score) "
+                         "or '90pct' for the committed 90%%-captured-variance "
+                         "set (~81k dims — the configuration the reference "
+                         "actually samples). Default: 2048 headline")
+    ap.add_argument("--chains", type=int, default=None,
+                    help="override the chain count (default 32)")
+    ap.add_argument("--segment", type=int, default=None,
+                    help="draws per compiled dispatch (default 120, or 60 "
+                         "above 16k subspace dims)")
+    ap.add_argument("--windowed-mass", action="store_true",
+                    help="chain-pooled (metric_axis='chains') Stan-style "
+                         "windowed mass adaptation on top of --coupled")
+    ap.add_argument("--torch-ess", type=float, default=None, metavar="SECONDS",
+                    help="offline CPU mode: run the torch-CPU baseline at the "
+                         "jax full-grid kernel config for SECONDS, print its "
+                         "measured ESS/s, and exit. Run under "
+                         "PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu (no TPU)")
     ap.add_argument("--no-gram", action="store_true",
                     help="disable the Gram-form clipped trajectory gradients "
                          "(autodiff through the composed likelihood instead)")
@@ -797,6 +1035,37 @@ def main():
                          "at endpoints; default ALPHA=1.0). Replaces the "
                          "Gram/stride trajectory oracle.")
     args = ap.parse_args()
+    if args.subspace is not None and args.subspace != "90pct":
+        args.subspace = int(args.subspace)
+    if args.windowed_mass and (args.no_gram or args.adaptive or
+                               args.gauss_field is not None):
+        ap.error("--windowed-mass rides the --coupled recipe (default when "
+                 "no trajectory-field flag is given)")
+
+    if args.torch_ess is not None:
+        # offline torch-ESS mode (VERDICT r2 item 5): the same full-grid
+        # kernel config as the jax `--stride 1 --fn-stride 1` run — fixed
+        # step BENCH_STEP, L=BENCH_L, [L/2, L] trajectory jitter, refresh
+        # policy — on the identical real posterior, single torch chain.
+        from vihmc_tpu.chains import effective_sample_size_np
+
+        tb = bench_torch_baseline(args.quick, max_seconds=args.torch_ess,
+                                  collect=True, step=BENCH_STEP,
+                                  jitter_low_frac=BENCH_JITTER_LOW)
+        sam = tb.get("samples")
+        out = {"metric": "torch_cpu_ess_per_sec_fullgrid",
+               "draws": tb["draws"], "elapsed_s": round(tb["elapsed_s"], 1),
+               "samples_per_s": round(tb["samples_per_s"], 4)}
+        if sam is not None and sam.shape[0] >= 50:
+            post = sam[None, sam.shape[0] // 5:, :]
+            ess = effective_sample_size_np(post)
+            out["ess_median"] = round(float(np.median(ess)), 2)
+            out["ess_per_s"] = round(out["ess_median"] / tb["elapsed_s"], 5)
+        else:
+            out["error"] = "too few draws for an ESS estimate; raise SECONDS"
+        print(json.dumps(out))
+        return
+
     if args.no_gram and (args.stride or args.fn_stride):
         # same contract as the pipeline (vihmc_tpu/pipelines/vi_hmc.py)
         ap.error("--stride/--fn-stride require the Gram trajectory-gradient "
@@ -837,7 +1106,10 @@ def main():
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
                              use_gram=not args.no_gram, adaptive=args.adaptive,
                              stride=args.stride, fn_stride=args.fn_stride,
-                             gauss_alpha=args.gauss_field, coupled=args.coupled)
+                             gauss_alpha=args.gauss_field, coupled=args.coupled,
+                             sub_dim=args.subspace, chains=args.chains,
+                             segment=args.segment,
+                             windowed_mass=args.windowed_mass)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
@@ -881,6 +1153,20 @@ def main():
             jax_stats["vs_baseline_framework"] = round(vs_baseline, 2)
             if LIKE_FOR_LIKE_MEASURED is not None:
                 jax_stats["vs_baseline_like_for_like"] = LIKE_FOR_LIKE_MEASURED
+
+    # like-for-like ratio in the NORTH-STAR metric (ESS/s): jax full-grid
+    # ESS/s over the torch loop's measured ESS/s at the same kernel config
+    # (both constants carry their measurement provenance above)
+    if TORCH_ESS_MEASURED is not None:
+        jax_stats["torch_cpu_ess_per_s"] = TORCH_ESS_MEASURED
+        num = jax_stats["ess_per_s"] if full_grid else FULLGRID_ESS_MEASURED
+        if num is not None:
+            jax_stats["vs_baseline_ess_like_for_like"] = round(
+                num / TORCH_ESS_MEASURED, 2)
+    # both subspace rows in one JSON (VERDICT r2 item 1): the default
+    # 2048-dim headline carries the measured reference-scale 90% row
+    if args.subspace is None and NINETYPCT_MEASURED is not None:
+        jax_stats["subspace_90pct"] = NINETYPCT_MEASURED
 
     print(json.dumps({
         "metric": "ess_per_sec_vihmc_deeponet",

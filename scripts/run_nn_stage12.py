@@ -39,7 +39,7 @@ def main():
 
     t0 = time.time()
     vi_cfg = C.NNVIRunConfig(vi=VIConfig(
-        epochs=args.epochs, lr_start=1e-2, patience=100, num_ens=10,
+        epochs=args.epochs, lr_start=1e-2, patience=5000, num_ens=10,
         beta_type=1.0, prior_mu=0.0, prior_sigma=1.0,
         elbo=ELBOConfig(reduction="sum", fixed_noise_var=5e-2 ** 2)))
     vi_out = vi_train.run_nn(vi_cfg, key=jax.random.key(0), data=data)

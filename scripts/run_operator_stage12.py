@@ -117,7 +117,11 @@ def main():
     ap.add_argument("--small", action="store_true", help="CPU smoke scale")
     ap.add_argument("--out", default="runs/op_r2/stage12")
     ap.add_argument("--assets", default="assets/burgers_stage12.npz")
-    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--epochs", type=int, default=2400)
+    ap.add_argument("--patience", type=int, default=200,
+                    help="ReduceLROnPlateau patience (reference scales its "
+                         "lr_patience with the training length: "
+                         "Neural_network/VI/config.py:28-29 uses 5000/10000)")
     ap.add_argument("--p", type=int, default=512,
                     help="trunk points per example during VI")
     ap.add_argument("--compare-loop", type=int, default=0,
@@ -161,8 +165,8 @@ def main():
     t0 = time.time()
     vi_cfg = C.OperatorVIRunConfig(
         model=model, n_train=n_train, n_valid=n_valid, batch_size=128, p=p,
-        vi=VIConfig(epochs=epochs, lr_start=1e-3, patience=20, num_ens=3,
-                    prior_sigma=0.1,
+        vi=VIConfig(epochs=epochs, lr_start=1e-3, patience=args.patience,
+                    num_ens=3, prior_sigma=0.1,
                     elbo=ELBOConfig(reduction="mean_x_n", fixed_noise_var=1.0)))
     vi_out = vi_train.run_operator(vi_cfg, key=key, data=data, store=store)
     m = np.asarray(vi_out["metrics"])
