@@ -41,12 +41,15 @@ def main():
                     help="host:port of process 0 (omit on TPU pods/SLURM)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--init-timeout", type=float, default=None,
+                    help="coordinator handshake timeout (seconds)")
     args = ap.parse_args()
 
     from vihmc_tpu.chains import initialize_distributed
 
     dist = initialize_distributed(args.coordinator, args.num_processes,
-                                  args.process_id)
+                                  args.process_id,
+                                  initialization_timeout=args.init_timeout)
 
     import jax
     import jax.numpy as jnp
@@ -101,13 +104,39 @@ def main():
                         inv_mass=spec.sub_sigma() ** 2, aux=aux0,
                         aux_refresh=refresh, mesh=mesh)
 
-    samples = np.asarray(jax.device_get(res.samples))
+    if jax.process_count() > 1:
+        # chain-sharded outputs span non-addressable devices: gather the
+        # global arrays (every host gets the full result — the standard
+        # multi-host pattern for host-side diagnostics)
+        from jax.experimental import multihost_utils
+
+        samples, accepted = multihost_utils.process_allgather(
+            (res.samples, res.accepted), tiled=True)
+        samples = np.asarray(samples)
+        acceptance = float(np.mean(np.asarray(accepted, np.float32)))
+    else:
+        samples = np.asarray(jax.device_get(res.samples))
+        acceptance = float(res.acceptance_rate)
     if jax.process_index() == 0:
-        stats = summarize_np(samples[:, args.num_samples // 5:, :])
-        print(f"chains={args.chains} draws={args.num_samples} "
-              f"acceptance={float(res.acceptance_rate):.3f} "
-              f"max_rhat={float(np.max(stats['r_hat'])):.3f} "
-              f"median_ess={float(np.median(stats['ess'])):.1f}")
+        import json
+
+        stats = summarize_np(samples[:, args.num_samples // 5:, :],
+                             rank_normalized=False)
+        # machine-parsable line for tests/test_distributed.py: the
+        # cross-process run must reproduce the single-process diagnostics
+        # exactly (chain keys fold_in by chain index — mesh-layout
+        # independent)
+        print("RESULT " + json.dumps({
+            "distributed": bool(dist),
+            "processes": jax.process_count(),
+            "devices": len(jax.devices()),
+            "mesh": {k: int(v) for k, v in mesh.shape.items()},
+            "chains": args.chains,
+            "draws": args.num_samples,
+            "acceptance": round(acceptance, 6),
+            "max_rhat": round(float(np.max(stats["r_hat"])), 6),
+            "median_ess": round(float(np.median(stats["ess"])), 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -23,12 +23,17 @@ import numpy as np
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> bool:
+                           process_id: Optional[int] = None,
+                           initialization_timeout: Optional[float] = None) -> bool:
     """Initialize jax.distributed if running multi-process.
 
     With no arguments, auto-detects the environment (TPU pods set the
     necessary metadata; SLURM via the standard env vars). Returns True if
     distributed mode was initialized, False for single-process runs.
+
+    ``initialization_timeout`` (seconds) bounds the coordinator handshake —
+    a missing peer then degrades to a False return (graceful
+    single-process fallback) instead of blocking for the 5-minute default.
     """
     import jax
 
@@ -36,11 +41,35 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ.get("SLURM_NTASKS", "0")) or None
     if process_id is None and os.environ.get("SLURM_PROCID") is not None:
         process_id = int(os.environ["SLURM_PROCID"])
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = int(initialization_timeout)
+    if (initialization_timeout is not None and coordinator_address and
+            process_id not in (None, 0)):
+        # graceful failure mode: the coordination-service client aborts the
+        # whole process (C++ LOG(FATAL)) when the handshake deadline
+        # expires, so an unreachable coordinator is probed with a plain TCP
+        # connect first and degrades to a single-process False return
+        import socket
+        import time as _time
+
+        host, _, port = coordinator_address.rpartition(":")
+        deadline = _time.time() + initialization_timeout
+        reachable = False
+        while _time.time() < deadline and not reachable:
+            try:
+                with socket.create_connection((host or "localhost", int(port)),
+                                              timeout=1.0):
+                    reachable = True
+            except OSError:
+                _time.sleep(0.2)
+        if not reachable:
+            return False
     try:
         if coordinator_address or (num_processes and num_processes > 1):
             jax.distributed.initialize(coordinator_address=coordinator_address,
                                        num_processes=num_processes,
-                                       process_id=process_id)
+                                       process_id=process_id, **kw)
             return True
         # TPU pod runtimes auto-detect with no arguments
         if os.environ.get("TPU_WORKER_HOSTNAMES") and num_processes is None:
