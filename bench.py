@@ -763,7 +763,7 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
 
 def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
                       n_samples, max_seconds, collect: bool = False,
-                      jitter_low_frac=None):
+                      jitter_low_frac=None, clip_norm=None):
     """Time the torch-CPU HMC loop shared by both workload baselines.
 
     Identical kernel semantics to the jax sampler (vihmc_tpu/hmc/kernel.py):
@@ -778,6 +778,10 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
     the jax recipe's resonance-breaking jitter (the jax kernel masks its
     jittered tail so it still pays L gradient evals; the torch loop skips
     them, which only flatters the baseline's draws/s).
+    ``clip_norm``: preconditioned norm clip on the TRAJECTORY gradient only
+    (MH still decides on the exact density) — the same deterministic-field
+    clip the jax kernel uses (hmc.clipped_grad_fn), required for stability
+    at the production step size.
     """
     import statistics
 
@@ -787,6 +791,10 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
         q = q.detach().requires_grad_(True)
         lp = log_prob(q, frozen)
         (g,) = torch.autograd.grad(lp, q)
+        g = torch.nan_to_num(g)
+        if clip_norm is not None:
+            norm = torch.sqrt((inv_mass * g * g).sum())
+            g = g * torch.clamp(clip_norm / (norm + 1e-30), max=1.0)
         return lp.detach(), g
 
     q = q0.clone()
@@ -893,10 +901,13 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
         pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
         return ll + pr
 
+    # ESS (collect) mode: same preconditioned trajectory-gradient clip as
+    # the jax NN headline (clipped_grad_fn, 13*sqrt(d))
+    clip = 13.0 * len(idx) ** 0.5 if collect else None
     return _torch_hmc_timing(
         log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
         mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds,
-        collect=collect, jitter_low_frac=jitter_low_frac)
+        collect=collect, jitter_low_frac=jitter_low_frac, clip_norm=clip)
 
 
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
@@ -965,6 +976,9 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
     nll = torch.nn.GaussianNLLLoss(reduction="sum")
 
     def log_prob(q_sub, frozen):
+        if not torch.isfinite(q_sub).all():
+            # hamiltorch semantics: NaN/Inf state -> LogProbError -> reject
+            return (torch.nan_to_num(q_sub) * 0.0).sum() + float("-inf")
         full = frozen.clone()
         full[idx_t] = q_sub
         pred = forward(full)
@@ -972,11 +986,16 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
         pr = torch.distributions.Normal(mu_t[idx_t], sigma_t[idx_t]).log_prob(q_sub).sum()
         return ll + pr
 
-    # same trajectory cost (L leapfrog steps per draw) as the jax headline
+    # same trajectory cost (L leapfrog steps per draw) as the jax headline;
+    # at the production step (collect/ESS mode) also the same preconditioned
+    # trajectory-gradient clip the jax kernel runs — without it the torch
+    # chain diverges at step 0.12 exactly like an unclipped jax chain would
+    clip = (BENCH_CLIP * (len(idx) / 2048.0) ** 0.5) if collect else None
     return _torch_hmc_timing(
         log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
         mu_t[idx_t], sigma_t[idx_t] ** 2, step, BENCH_L, n_samples,
-        max_seconds, collect=collect, jitter_low_frac=jitter_low_frac)
+        max_seconds, collect=collect, jitter_low_frac=jitter_low_frac,
+        clip_norm=clip)
 
 
 def main():
