@@ -55,7 +55,10 @@ def main():
     meta = np.load("assets/burgers_stage12.npz")
     mu, indices = meta["mu"], meta["indices"]
     demo = json.load(open(os.path.join(args.run, "demo_summary.json")))
-    burn_kept = int(demo["draws"]) // 5 // int(demo["thin"])
+    # the run's actual burn when recorded (run_operator_stage3.py writes it
+    # since round 3); draws//5 is only the stage-3 default fallback
+    burn = int(demo.get("burn") or int(demo["draws"]) // 5)
+    burn_kept = burn // int(demo["thin"])
 
     samples = np.load(os.path.join(args.run, "hmc_params.npy"), mmap_mode="r")
     x = np.asarray(samples[:, burn_kept:, :])
@@ -91,10 +94,16 @@ def main():
     order = np.argsort(-rhat_w)
     worst = order[:8]
     chain_means = x[:, :, worst].mean(axis=1)          # (C, 8)
-    # basin split on the single worst dim: threshold at the midpoint gap
+    # basin split on the single worst dim: threshold at the largest gap in
+    # sorted chain means, reported ONLY when the gap dominates the
+    # within-chain spread AND the dim is actually flagged by R-hat —
+    # otherwise any unimodal coordinate would fabricate two "basins"
     cm0 = chain_means[:, 0]
+    sd_within = float(x[:, :, worst[0]].std(axis=1).mean())
     srt = np.sort(cm0)
     gap = int(np.argmax(np.diff(srt)))
+    basin_real = (float(np.diff(srt)[gap]) > 2.0 * sd_within
+                  and float(rhat_w[worst[0]]) > 1.1)
     thr = 0.5 * (srt[gap] + srt[gap + 1])
     lo = np.where(cm0 <= thr)[0]
     hi = np.where(cm0 > thr)[0]
@@ -116,9 +125,11 @@ def main():
             "worst_dims_subspace_idx": [int(i) for i in worst],
             "worst_dims_r_hat": [round(float(rhat_w[i]), 3) for i in worst],
             "worst_dim_chain_means": [round(float(v), 4) for v in cm0],
-            "basin_sizes": [int(len(lo)), int(len(hi))],
-            "basin_mean_probe_mse": [float(mse_chain[lo].mean()),
-                                     float(mse_chain[hi].mean())],
+            "basin_split_significant": bool(basin_real),
+            **({"basin_sizes": [int(len(lo)), int(len(hi))],
+                "basin_mean_probe_mse": [float(mse_chain[lo].mean()),
+                                         float(mse_chain[hi].mean())]}
+               if basin_real else {}),
             "probe_mse_per_chain_spread": float(mse_chain.std()),
         },
     })

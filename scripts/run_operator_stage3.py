@@ -174,6 +174,7 @@ def main():
     summary = {
         "variant": args.variant,
         "chains": args.chains, "draws": args.draws, "thin": args.thin,
+        "burn": int(cfg.burn_ or 0),
         "L": cfg.L, "step": float(cfg.step_size), "adapt": args.adapt,
         "da_axis": args.da_axis, "jitter": args.jitter,
         "acceptance": float(met["acceptance_rate"]),
