@@ -99,11 +99,13 @@ FULLGRID_ESS_MEASURED = None
 #: torch-CPU pooled ESS/s at the SAME full-grid kernel config (step/L/jitter
 #: identical to the jax `--stride 1 --fn-stride 1` run), measured offline
 #: with ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python bench.py
-#: --torch-ess <seconds>`` (a CPU-only job; the operator chain draws ~0.1
+#: --torch-ess <seconds>`` (a CPU-only job; the operator chain draws ~0.05
 #: draws/s so ESS needs a dedicated long run). Single torch chain vs 32
 #: vectorized jax chains — the same per-process comparison the draws/s
-#: ratio makes.
-TORCH_ESS_MEASURED = None
+#: ratio makes. Measured 2026-08-21 on the round-3 asset posterior:
+#: 83 draws / 2403 s, post-burn single-chain ESS 8.95 (small-sample Geyer
+#: estimate — noisy but real), 0.044 draws/s.
+TORCH_ESS_MEASURED = 0.00372
 
 #: the reference-scale 90%-captured-variance subspace row (the configuration
 #: the reference actually samples: Operator_network/VI/config_sens.py:33 +
@@ -173,6 +175,13 @@ def _sampling_flops(log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state,
         low = fn.lower(chain_keys, inits, inv_mass, aux0, None)
     ca = low.cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
+    if ca is None or "flops" not in ca:
+        # some backends (the axon remote-compile tunnel) return no
+        # pre-optimization analysis; the compiled executable carries one,
+        # and the identical HLO was just compiled for the timed run so the
+        # remote compile cache makes this cheap
+        ca = low.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
     return float(ca["flops"]) * n_samples
 
 
@@ -304,7 +313,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               adaptive: bool = False, keys=None, stride=None,
               fn_stride=None, gauss_alpha=None, coupled: bool = False,
               sub_dim=None, chains=None, segment=None,
-              windowed_mass: bool = False):
+              windowed_mass: bool = False, thin: int = 1):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -436,17 +445,22 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     # segment; 60 halves the footprint (the flagship demo ran 84-draw
     # segments at 24 chains clean)
     seg = segment if segment is not None else (120 if len(idx) <= 16384 else 60)
+    if thin > 1 and (seg % thin or n_burn % thin):
+        raise ValueError("--thin must divide the segment size and burn")
     if n_samples > seg:
         def run(key, n=n_samples):
             cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
             return sample_chains_resumable(
                 log_prob, inits, key, cfg_n, segment_size=seg,
                 inv_mass=spec.sub_sigma() ** 2, aux=aux0, aux_refresh=refresh,
-                grad_fn=grad_fn)
+                grad_fn=grad_fn, thin=thin)
 
         def warmup(key):
             return run(key, n=seg)
     else:
+        if thin > 1:
+            raise ValueError("thin requires the segmented path (draws > segment)")
+
         def run(key):
             return sample_chains(log_prob, inits, key, hmc_cfg,
                                  inv_mass=spec.sub_sigma() ** 2,
@@ -481,7 +495,10 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         res = run(jax.random.key(k))
         samples = np.asarray(res.samples)
         elapsed = time.perf_counter() - t0
-        post = samples[:, n_burn:, :]
+        # with thin > 1 the kept draws are every thin-th state; tau shrinks
+        # by the same factor the sample count does, so pooled ESS is an
+        # unchanged estimate as long as thin << tau (resume.py docstring)
+        post = samples[:, n_burn // thin:, :]
         ess, raw_tau, tau_floor = effective_sample_size_np(post,
                                                            return_tau=True)
         floor_frac = float(np.mean(raw_tau < tau_floor))
@@ -1025,6 +1042,13 @@ def main():
     ap.add_argument("--windowed-mass", action="store_true",
                     help="chain-pooled (metric_axis='chains') Stan-style "
                          "windowed mass adaptation on top of --coupled")
+    ap.add_argument("--thin", type=int, default=1,
+                    help="keep every thin-th draw (sampler state advances "
+                         "through all draws; relieves the host-transfer "
+                         "bottleneck at the 90%%-subspace scale)")
+    ap.add_argument("--keys", default=None,
+                    help="comma-separated PRNG keys (default 2,3,4; use one "
+                         "key for cheap variant exploration)")
     ap.add_argument("--torch-ess", type=float, default=None, metavar="SECONDS",
                     help="offline CPU mode: run the torch-CPU baseline at the "
                          "jax full-grid kernel config for SECONDS, print its "
@@ -1122,13 +1146,16 @@ def main():
         }))
         return
 
+    keys = (tuple(int(k) for k in args.keys.split(","))
+            if args.keys else None)
     jax_stats, _ = bench_jax(args.quick, draws=args.draws, burn=args.burn,
                              use_gram=not args.no_gram, adaptive=args.adaptive,
                              stride=args.stride, fn_stride=args.fn_stride,
                              gauss_alpha=args.gauss_field, coupled=args.coupled,
                              sub_dim=args.subspace, chains=args.chains,
                              segment=args.segment,
-                             windowed_mass=args.windowed_mass)
+                             windowed_mass=args.windowed_mass,
+                             thin=args.thin, keys=keys)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
