@@ -313,7 +313,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               adaptive: bool = False, keys=None, stride=None,
               fn_stride=None, gauss_alpha=None, coupled: bool = False,
               sub_dim=None, chains=None, segment=None,
-              windowed_mass: bool = False, thin: int = 1):
+              windowed_mass: bool = False, thin: int = 1, num_leapfrog=None):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -335,6 +335,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         build_problem(quick, compute_dtype, draws=draws, sub_dim=sub_dim)
     if chains is not None:
         n_chains = chains
+    bench_l = BENCH_L if num_leapfrog is None else num_leapfrog
     n_burn = (n_samples // 5) if burn is None else burn
     spec = SubspaceSpec(idx=tuple(int(i) for i in idx), mu=mu, sigma=sigma)
     like = get_likelihood("NLL")
@@ -410,7 +411,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         # (da_axis pmean -> one shared low-noise step), diminishing
         # adaptation holding acceptance AT the target through sampling, and
         # continuous step jitter over [0.5, 1] — no hand-tuned step at all
-        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
+        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
                             step_size=0.1, burn=n_burn, sampler="hmc_nuts",
                             target_accept=0.65, da_axis="chains",
                             adapt_forever=True, jitter_eps=True,
@@ -426,11 +427,11 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                             metric_axis="chains" if windowed_mass else None)
     elif adaptive:
         # legacy round-1 adaptive config (kept for cross-round comparability)
-        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
+        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
                             step_size=1e-4, burn=n_burn, sampler="hmc_nuts",
                             target_accept=BENCH_TARGET_ACCEPT)
     else:
-        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=BENCH_L,
+        hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
                             step_size=BENCH_STEP, burn=n_burn, sampler="hmc",
                             jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
 
@@ -533,7 +534,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             # field the trajectory costs zero likelihood evals, so the
             # counter would be meaningless
             stats_k["grad_evals_per_s"] = \
-                n_chains * n_samples * (BENCH_L + 1) / elapsed
+                n_chains * n_samples * (bench_l + 1) / elapsed
         per_key.append(stats_k)
 
     # representative key = median pooled ESS (robust to per-key luck), but
@@ -1049,6 +1050,8 @@ def main():
     ap.add_argument("--keys", default=None,
                     help="comma-separated PRNG keys (default 2,3,4; use one "
                          "key for cheap variant exploration)")
+    ap.add_argument("--L", type=int, default=None,
+                    help=f"trajectory length override (default {BENCH_L})")
     ap.add_argument("--torch-ess", type=float, default=None, metavar="SECONDS",
                     help="offline CPU mode: run the torch-CPU baseline at the "
                          "jax full-grid kernel config for SECONDS, print its "
@@ -1155,7 +1158,7 @@ def main():
                              sub_dim=args.subspace, chains=args.chains,
                              segment=args.segment,
                              windowed_mass=args.windowed_mass,
-                             thin=args.thin, keys=keys)
+                             thin=args.thin, keys=keys, num_leapfrog=args.L)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
