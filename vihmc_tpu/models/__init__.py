@@ -20,6 +20,10 @@ from vihmc_tpu.models.bayesian import (
     bbb_conv2d_apply,
     lrt_conv2d_apply,
 )
+from vihmc_tpu.models.symmetry import (
+    canonicalize_mlp,
+    canonicalize_deeponet,
+)
 
 __all__ = [
     "MLPConfig",
@@ -43,4 +47,6 @@ __all__ = [
     "lrt_linear_apply",
     "bbb_conv2d_apply",
     "lrt_conv2d_apply",
+    "canonicalize_mlp",
+    "canonicalize_deeponet",
 ]
