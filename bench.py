@@ -146,19 +146,47 @@ def _device_peak_flops():
     return kind, None
 
 
+def _cpu_lowered_flops(fn, *args):
+    """FLOPs of ``fn`` from a CPU lowering (jax.stages.Lowered.cost_analysis).
+    FLOP counts are backend-independent, and the CPU lowering always carries
+    a pre-optimization analysis (the axon remote-compile tunnel returns
+    None). Args are converted to avals so no device work or transfer
+    happens."""
+    import jax
+
+    def aval(x):
+        if not hasattr(x, "dtype"):
+            x = jax.numpy.asarray(x)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    avals = jax.tree_util.tree_map(aval, args)
+    with jax.default_device(jax.devices("cpu")[0]):
+        low = jax.jit(fn).lower(*avals)
+        ca = low.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    return float(ca["flops"])
+
+
 def _sampling_flops(log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state,
                     inits, aux0, inv_mass, n_samples):
     """Model-FLOP count of the timed sampling computation, from XLA HLO cost
-    analysis of the same jitted program the bench executes
-    (``jax.stages.Lowered.cost_analysis`` — an unoptimized-HLO count; fusion
-    reorganizes memory traffic, not FLOPs). HLO cost analysis counts a
-    while-loop body ONCE regardless of trip count (verified empirically:
-    flops(20 draws) == flops(40 draws)), so the lowered count — init work +
-    one scan-body execution = one draw across all vmapped chains — is
-    multiplied by the total draw count here. The init work (one gradient
-    eval) overstates the total by <1 draw-equivalent per compiled dispatch.
-    Round-2 VERDICT item 2: without this the utilization headroom of the
-    sampler is invisible."""
+    analysis of the same computation the bench executes (round-2 VERDICT
+    item 2: without this the utilization headroom of the sampler is
+    invisible).
+
+    HLO cost analysis counts a while-loop body ONCE regardless of trip
+    count (verified empirically: flops(20 draws) == flops(40 draws)), and
+    the leapfrog trajectory is a *nested* scan whose body is also counted
+    once. So the total is reconstructed from two lowerings:
+
+        total = draws * (body + (L_paid - 1) * step)
+
+    where ``body`` is the one-draw/all-chains cost with ONE trajectory step
+    counted, and ``step`` is the trajectory-gradient cost per step across
+    all chains (jittered trajectories still pay all L gradient evals:
+    masked-L jitter computes and discards, eps-jitter shrinks the step).
+    Both are lowered for CPU — FLOP counts are backend-independent and the
+    TPU tunnel backend returns no pre-optimization analysis."""
     import dataclasses
 
     import jax
@@ -170,8 +198,8 @@ def _sampling_flops(log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state,
         runner = _build_segment_runner(
             log_prob, dataclasses.replace(hmc_cfg, num_samples=0), seg,
             refresh, grad_fn)
-        low = runner.lower(warm_state, jnp.asarray(0), jax.random.key(0),
-                           inv_mass)
+        body = _cpu_lowered_flops(
+            runner, warm_state, jnp.asarray(0), jax.random.key(0), inv_mass)
     else:
         from vihmc_tpu.chains.parallel import _build_chain_sampler
 
@@ -180,17 +208,19 @@ def _sampling_flops(log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state,
         chain_keys = jax.vmap(
             lambda i: jax.random.fold_in(jax.random.key(0), i))(
                 jnp.arange(inits.shape[0]))
-        low = fn.lower(chain_keys, inits, inv_mass, aux0, None)
-    ca = low.cost_analysis()
-    ca = ca[0] if isinstance(ca, list) else ca
-    if ca is None or "flops" not in ca:
-        # some backends (the axon remote-compile tunnel) return no
-        # pre-optimization analysis; the compiled executable carries one,
-        # and the identical HLO was just compiled for the timed run so the
-        # remote compile cache makes this cheap
-        ca = low.compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-    return float(ca["flops"]) * n_samples
+        body = _cpu_lowered_flops(fn, chain_keys, inits, inv_mass, aux0, None)
+
+    # per-trajectory-step gradient cost across all chains
+    oracle = grad_fn
+    if oracle is None:
+        oracle = jax.grad(lambda q, aux: log_prob(q, aux))
+
+    def all_chain_step(qs, aux):
+        return jax.vmap(lambda q: oracle(q, aux))(qs)
+
+    step = _cpu_lowered_flops(all_chain_step, inits, aux0)
+    l_paid = hmc_cfg.num_leapfrog
+    return float(n_samples) * (body + max(0, l_paid - 1) * step)
 
 
 def _mfu_stats(total_flops, wall_s, n_chains, n_samples):
@@ -321,7 +351,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               adaptive: bool = False, keys=None, stride=None,
               fn_stride=None, gauss_alpha=None, coupled: bool = False,
               sub_dim=None, chains=None, segment=None,
-              windowed_mass: bool = False, thin: int = 1, num_leapfrog=None):
+              windowed_mass: bool = False, thin: int = 1, num_leapfrog=None,
+              frozen_policy: str = "refresh"):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -357,8 +388,10 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         def full_ll(flat):
             return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
 
+    policy = {"refresh": FrozenPolicy.REFRESH, "mean": FrozenPolicy.MEAN,
+              "draw": FrozenPolicy.DRAW}[frozen_policy]
     lp_like, aux0, refresh = make_subspace_log_prob(
-        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+        full_ll, spec, policy, init_key=jax.random.key(0))
     prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
 
     def log_prob(q, aux):
@@ -1060,6 +1093,11 @@ def main():
                          "key for cheap variant exploration)")
     ap.add_argument("--L", type=int, default=None,
                     help=f"trajectory length override (default {BENCH_L})")
+    ap.add_argument("--frozen-policy", default="refresh",
+                    choices=["refresh", "mean", "draw"],
+                    help="frozen-coordinate policy (reference options: "
+                         "refresh each draw / fix at VI mean / fix at one "
+                         "VI draw)")
     ap.add_argument("--torch-ess", type=float, default=None, metavar="SECONDS",
                     help="offline CPU mode: run the torch-CPU baseline at the "
                          "jax full-grid kernel config for SECONDS, print its "
@@ -1166,7 +1204,8 @@ def main():
                              sub_dim=args.subspace, chains=args.chains,
                              segment=args.segment,
                              windowed_mass=args.windowed_mass,
-                             thin=args.thin, keys=keys, num_leapfrog=args.L)
+                             thin=args.thin, keys=keys, num_leapfrog=args.L,
+                             frozen_policy=args.frozen_policy)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
