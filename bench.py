@@ -352,7 +352,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               fn_stride=None, gauss_alpha=None, coupled: bool = False,
               sub_dim=None, chains=None, segment=None,
               windowed_mass: bool = False, thin: int = 1, num_leapfrog=None,
-              frozen_policy: str = "refresh"):
+              frozen_policy: str = "refresh", laplace_mass: bool = False):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -390,6 +390,29 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
 
     policy = {"refresh": FrozenPolicy.REFRESH, "mean": FrozenPolicy.MEAN,
               "draw": FrozenPolicy.DRAW}[frozen_policy]
+    # kinetic-energy metric. Default: the VI-variance preconditioner. With
+    # laplace_mass: the diagonal conditional-Laplace scale from the REAL
+    # stage-2 artifacts — posterior precision ~ prior precision + Fisher,
+    # Fisher_ii = n_data * E[J_i^2] / tau, with E[J^2] = scores/sigma^2
+    # (sensitivity stores scores = mean-squared-Jacobian * sigma^2).
+    # Measured on the r3 asset the VI sigmas overestimate conditional
+    # scales by up to 18x (99/1 dispersion 7.3x) — a ~500x condition
+    # number in VI-preconditioned space; the Laplace metric removes it.
+    # A mass matrix changes proposal efficiency only, never the
+    # stationary law.
+    inv_mass_vec = spec.sub_sigma() ** 2
+    if laplace_mass:
+        if LAST_PROBLEM_PROVENANCE.get("posterior") != "vi_fit":
+            raise ValueError("--laplace-mass needs the real stage-1/2 asset "
+                             "posterior (scores are per-parameter artifacts)")
+        z_mass = np.load(STAGE12_ASSETS)
+        idx_np = np.asarray(idx)
+        g2 = z_mass["scores"][idx_np] / np.maximum(
+            z_mass["sigma"][idx_np] ** 2, 1e-30)
+        n_eff = branch_x.shape[0] * trunk_x.shape[0]
+        lap_var = 1.0 / (1.0 / np.maximum(z_mass["sigma"][idx_np] ** 2, 1e-30)
+                         + n_eff * g2)
+        inv_mass_vec = jnp.asarray(lap_var, jnp.float32)
     lp_like, aux0, refresh = make_subspace_log_prob(
         full_ll, spec, policy, init_key=jax.random.key(0))
     prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
@@ -412,7 +435,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         field = gaussian_field_grad(spec.sub_mu(), spec.sub_sigma(),
                                     gauss_alpha)
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
-        grad_fn = clipped_grad_fn(field, clip, inv_mass=spec.sub_sigma() ** 2)
+        grad_fn = clipped_grad_fn(field, clip, inv_mass=inv_mass_vec)
     elif use_gram and compute_dtype is None:
         # Gram-form trajectory gradient (no (B, P) array in the leapfrog hot
         # loop; exact density at every trajectory endpoint) with the
@@ -443,7 +466,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                                               fn_subset=fn_subset)
         sub_grad = make_subspace_grad(grad_full, spec, prior=prior)
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
-        grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=spec.sub_sigma() ** 2)
+        grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=inv_mass_vec)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     if coupled:
@@ -494,7 +517,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
             return sample_chains_resumable(
                 log_prob, inits, key, cfg_n, segment_size=seg,
-                inv_mass=spec.sub_sigma() ** 2, aux=aux0, aux_refresh=refresh,
+                inv_mass=inv_mass_vec, aux=aux0, aux_refresh=refresh,
                 grad_fn=grad_fn, thin=thin)
 
         def warmup(key):
@@ -505,7 +528,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
 
         def run(key):
             return sample_chains(log_prob, inits, key, hmc_cfg,
-                                 inv_mass=spec.sub_sigma() ** 2,
+                                 inv_mass=inv_mass_vec,
                                  aux=aux0, aux_refresh=refresh,
                                  grad_fn=grad_fn)
 
@@ -606,7 +629,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     try:
         total_flops = _sampling_flops(
             log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state, inits,
-            aux0, spec.sub_sigma() ** 2, n_samples)
+            aux0, inv_mass_vec, n_samples)
         stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
     except Exception as e:  # MFU is best-effort; never kill the bench
         print(f"# mfu measurement failed: {type(e).__name__}: {e}",
@@ -1098,6 +1121,9 @@ def main():
                     help="frozen-coordinate policy (reference options: "
                          "refresh each draw / fix at VI mean / fix at one "
                          "VI draw)")
+    ap.add_argument("--laplace-mass", action="store_true",
+                    help="kinetic metric from the stage-2 Fisher (diagonal "
+                         "conditional-Laplace scales) instead of VI sigma^2")
     ap.add_argument("--torch-ess", type=float, default=None, metavar="SECONDS",
                     help="offline CPU mode: run the torch-CPU baseline at the "
                          "jax full-grid kernel config for SECONDS, print its "
@@ -1205,7 +1231,8 @@ def main():
                              segment=args.segment,
                              windowed_mass=args.windowed_mass,
                              thin=args.thin, keys=keys, num_leapfrog=args.L,
-                             frozen_policy=args.frozen_policy)
+                             frozen_policy=args.frozen_policy,
+                             laplace_mass=args.laplace_mass)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
