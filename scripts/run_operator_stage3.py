@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--target-accept", type=float, default=0.65)
     ap.add_argument("--max-step", type=float, default=None)
     ap.add_argument("--jitter", choices=["l", "eps", "none"], default="eps")
+    ap.add_argument("--laplace-mass", action="store_true",
+                    help="stage-2 Fisher kinetic metric instead of VI "
+                         "sigma^2 (docs/performance.md round 3)")
     ap.add_argument("--clip-scale", type=float, default=13.0,
                     help="clip = scale * sqrt(subspace dim); 0 disables")
     ap.add_argument("--segment", type=int, default=90)
@@ -80,14 +83,15 @@ def main():
         art = RunStore.open(art_root or ".", art_uid)
         artifacts = {"mu": art.load_array("means_flattened"),
                      "sigma": art.load_array("stds_flattened"),
-                     "indices": art.load_array("gradient_indices")}
+                     "indices": art.load_array("gradient_indices"),
+                     "scores": art.load_array("sensitivity_scores")}
     else:
         # stage-1/2 RunStore dir absent: the committed asset bundle carries
         # the same mu/sigma/index artifacts (scripts/run_operator_stage12.py)
         print(f"[artifacts] {args.artifacts} missing; using "
               "assets/burgers_stage12.npz", flush=True)
         artifacts = {"mu": meta["mu"], "sigma": meta["sigma"],
-                     "indices": meta["indices"]}
+                     "indices": meta["indices"], "scores": meta["scores"]}
     d_sub = len(artifacts["indices"])
     n_train, n_valid = int(meta["n_train"]), int(meta["n_valid"])
     nx, nt = int(meta["nx"]), int(meta["nt"])
@@ -101,7 +105,9 @@ def main():
     common = dict(num_samples=args.draws, burn=args.burn, post_std=0.0214,
                   num_chains=args.chains, num_leapfrog=args.L,
                   loss="NLL", tau_out=1.0, frozen_policy="refresh",
-                  vi_mass=True, clip_grad=clip,
+                  vi_mass=True, laplace_mass=args.laplace_mass,
+                  laplace_n_data=n_train * nx * nt,
+                  clip_grad=clip,
                   jitter_l=args.jitter == "l", jitter_eps=args.jitter == "eps",
                   jitter_low_frac=0.5 if args.jitter != "none" else 0.0,
                   adapt_step_size=args.adapt,

@@ -101,6 +101,14 @@ class VIHMCRunConfig:
     sample_prior: bool = False       # init from a VI draw instead of the mean
     frozen_policy: str = "refresh"   # 'mean' | 'draw' | 'refresh'
     vi_mass: bool = False            # precondition: inv_mass = VI sigma^2 (extension)
+    laplace_mass: bool = False       # kinetic metric from the stage-2 Fisher:
+                                     # inv_mass = 1/(prior_prec + n*E[J^2]/tau).
+                                     # Needs 'scores' in artifacts and
+                                     # laplace_n_data; overrides vi_mass.
+                                     # (Extension: measured necessary when the
+                                     # VI sigmas misstate conditional scales —
+                                     # docs/performance.md round 3.)
+    laplace_n_data: Optional[int] = None  # likelihood observation count n
     sample_data: bool = False        # random trunk-point subsampling per draw
     p: int = 10201                   # trunk points kept when sample_data
                                      # (reference main_VI_HMC_burgers.py:131-138)

@@ -78,6 +78,33 @@ def build_subspace_posterior(cfg: VIHMCRunConfig, full_forward, y, artifacts,
         return lp_like(q_sub, aux) + prior.log_prob(q_sub)
 
     inv_mass = spec.sub_sigma() ** 2 if cfg.vi_mass else 1.0
+    if cfg.laplace_mass:
+        # diagonal conditional-Laplace metric from the stage-2 Fisher:
+        # posterior precision ~ prior precision + n_data * E[J_i^2] / tau,
+        # with E[J^2] recovered from the sensitivity artifact
+        # (scores = mean-squared-Jacobian * sigma^2). Motivation: mean-field
+        # VI sigmas can overestimate the *conditional* posterior scales by
+        # an order of magnitude (measured 18x on the round-3 Burgers fit —
+        # docs/performance.md round 3), and a mismatched metric stalls HMC;
+        # the metric choice never changes the stationary law.
+        scores = artifacts.get("scores")
+        if scores is None:
+            raise ValueError("laplace_mass needs 'scores' (the sensitivity-"
+                             "score artifact) in artifacts")
+        if cfg.laplace_n_data is None:
+            raise ValueError("laplace_mass needs laplace_n_data (number of "
+                             "likelihood observations)")
+        import numpy as _np
+
+        idx_np = _np.sort(_np.asarray(artifacts["indices"]).ravel())
+        sig_np = _np.asarray(artifacts["sigma"]).ravel()[idx_np]
+        g2 = _np.asarray(scores).ravel()[idx_np] / _np.maximum(sig_np ** 2,
+                                                               1e-30)
+        prior_scale = _np.broadcast_to(_np.asarray(prior.scale),
+                                       idx_np.shape)
+        lap_var = 1.0 / (1.0 / _np.maximum(prior_scale ** 2, 1e-30)
+                         + cfg.laplace_n_data * g2 / cfg.tau_out)
+        inv_mass = jnp.asarray(lap_var, jnp.float32)
     return log_prob, aux0, refresh, spec, prior, inv_mass
 
 
