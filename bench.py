@@ -120,8 +120,24 @@ TORCH_ESS_MEASURED = 0.00372
 #: VI_HMC/main_VI_HMC_burgers.py:283). Measured on-chip with
 #: ``python bench.py --subspace 90pct``; the default 2048-dim headline JSON
 #: carries this dict under extras["subspace_90pct"] so BOTH subspace rows
-#: ride in every bench JSON (round-2 VERDICT item 1).
-NINETYPCT_MEASURED = None
+#: ride in every bench JSON (round-2 VERDICT item 1). Tuning history
+#: (docs/performance.md round 3): baseline coupled recipe 0.091 ESS/s;
+#: windowed pooled mass 0.073; L=127 0.116; frozen-at-mean 0.141 (ESS-floor
+#: artifact); Laplace mass + thin-3 transfers = the recorded row (2.2x the
+#: baseline). All diagonal-metric variants are correlation-bound at this
+#: scale — weight-space tau >> 300 on the r3 posterior.
+NINETYPCT_MEASURED = {
+    "ess_per_s": 0.203,
+    "ess_median_by_key": [23.8, 24.4, 24.5],
+    "wall_s_by_key": [111.96, 120.64, 135.23],
+    "subspace_dim": 37294,
+    "chains": 32, "draws": 360, "burn": 72, "thin": 3,
+    "acceptance": 0.6413,
+    "config": "coupled stride-5/5 + laplace_mass + thin 3",
+    "mfu": 0.00974,
+    "measured": "2026-08-21 (bench --subspace 90pct --laplace-mass "
+                "--thin 3, 3 keys)",
+}
 
 #: bf16 MXU peak FLOP/s by TPU generation (device_kind substring match,
 #: public spec sheets). MFU is reported against the bf16 peak: on these
