@@ -55,6 +55,16 @@ def main():
     ap.add_argument("--target-accept", type=float, default=0.65)
     ap.add_argument("--max-step", type=float, default=None)
     ap.add_argument("--jitter", choices=["l", "eps", "none"], default="eps")
+    ap.add_argument("--frozen-policy", default="draw",
+                    choices=["refresh", "mean", "draw"],
+                    help="frozen-coordinate policy. Default 'draw' (one "
+                         "fixed VI draw) — the reference's EFFECTIVE "
+                         "semantics (its refresh hook is never invoked by "
+                         "hamiltorch, SURVEY 2.4) and the only policy whose "
+                         "per-draw conditional is a fixed density; "
+                         "'refresh' ratchets when frozen-coordinate "
+                         "likelihood damage is large (docs/performance.md "
+                         "round 3)")
     ap.add_argument("--laplace-mass", action="store_true",
                     help="stage-2 Fisher kinetic metric instead of VI "
                          "sigma^2 (docs/performance.md round 3)")
@@ -104,7 +114,7 @@ def main():
     clip = args.clip_scale * d_sub ** 0.5 if args.clip_scale else None
     common = dict(num_samples=args.draws, burn=args.burn, post_std=0.0214,
                   num_chains=args.chains, num_leapfrog=args.L,
-                  loss="NLL", tau_out=1.0, frozen_policy="refresh",
+                  loss="NLL", tau_out=1.0, frozen_policy=args.frozen_policy,
                   vi_mass=True, laplace_mass=args.laplace_mass,
                   laplace_n_data=n_train * nx * nt,
                   clip_grad=clip,

@@ -120,13 +120,20 @@ def chain_inits(cfg: VIHMCRunConfig, spec: SubspaceSpec, key):
 
 def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forward,
                      y_eval, samples, keep_predictions: int = 64,
-                     max_metric_samples: int = 4096):
+                     max_metric_samples: int = 4096, frozen_base=None):
     """Posterior-predictive evaluation of (C, S, d) or (S, d) subspace samples.
 
     Shared by live runs and the reload-and-score re-evaluation mode
     (the reference's ``evaluate``/``eval_dt_string`` flow,
-    main_VI_HMC_burgers.py:304-349). Frozen coordinates are fixed at the VI
-    mean for deterministic evaluation.
+    main_VI_HMC_burgers.py:304-349).
+
+    ``frozen_base``: the full-vector base the subspace samples scatter into.
+    MUST match the frozen vector the sampler actually conditioned on — a
+    sample compensates ITS frozen coordinates, so evaluating against a
+    different base mis-scores it (the reference's predict path reuses the
+    sampler's ``self.sampled_weights`` for exactly this reason,
+    my_make_func.py:47-49). Default: the VI mean (correct for the MEAN
+    policy; callers with DRAW/REFRESH should pass the sampler's aux).
 
     Metrics stream over all pooled samples (O(eval-set) memory); the returned
     ``predictions`` array is a uniform thinning to at most
@@ -139,6 +146,7 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
 
     like = get_likelihood(cfg.loss)
     idx = spec.idx_array
+    base = spec.mu if frozen_base is None else jnp.asarray(frozen_base)
     # keep the full sample history HOST-side: at reference scale it is
     # multiple GB and must not ride along to the device — only the thinned
     # pooled subsets below are transferred
@@ -148,7 +156,7 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
     burn = cfg.burn_
 
     def lp_and_pred(q_sub):
-        full = scatter_subspace(spec.mu, q_sub, idx)
+        full = scatter_subspace(base, q_sub, idx)
         pred = eval_forward(full)
         lp = like(pred.reshape(y_eval.shape), y_eval, cfg.tau_out) \
             + prior.log_prob(q_sub)
@@ -398,8 +406,21 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
             import dataclasses as _dc
 
             eval_cfg = _dc.replace(cfg, burn=cfg.burn_ // sample_thin)
+        # evaluate against the frozen vector the sampler conditioned on:
+        # DRAW = the fixed per-run VI draw (aux0); REFRESH = the final
+        # sampled frozen vector (reference my_make_func.py:47-49 evaluates
+        # with self.sampled_weights — the last refresh — for the same
+        # reason); MEAN = the VI mean (default)
+        frozen_base = None
+        if cfg.frozen_policy == "draw":
+            frozen_base = aux0
+        elif cfg.frozen_policy == "refresh":
+            final_aux = getattr(res.final_state, "aux", None)
+            if final_aux is not None:
+                a = jnp.asarray(final_aux)
+                frozen_base = a[0] if a.ndim == 2 else a
         evald = evaluate_samples(eval_cfg, spec, prior, eval_forward, y_eval,
-                                 res.samples)
+                                 res.samples, frozen_base=frozen_base)
         evald["metrics"]["acceptance_rate"] = res.acceptance_rate
         evald["metrics"]["num_divergent"] = res.num_divergent
         out.update(evald)
