@@ -65,6 +65,9 @@ def main():
                          "'refresh' ratchets when frozen-coordinate "
                          "likelihood damage is large (docs/performance.md "
                          "round 3)")
+    ap.add_argument("--init-optimize", type=int, default=0,
+                    help="warm-start Adam steps on the conditional before "
+                         "sampling (recommended ~200 for the draw policy)")
     ap.add_argument("--laplace-mass", action="store_true",
                     help="stage-2 Fisher kinetic metric instead of VI "
                          "sigma^2 (docs/performance.md round 3)")
@@ -117,6 +120,7 @@ def main():
                   loss="NLL", tau_out=1.0, frozen_policy=args.frozen_policy,
                   vi_mass=True, laplace_mass=args.laplace_mass,
                   laplace_n_data=n_train * nx * nt,
+                  init_optimize=args.init_optimize,
                   clip_grad=clip,
                   jitter_l=args.jitter == "l", jitter_eps=args.jitter == "eps",
                   jitter_low_frac=0.5 if args.jitter != "none" else 0.0,

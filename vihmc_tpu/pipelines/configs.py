@@ -109,6 +109,13 @@ class VIHMCRunConfig:
                                      # VI sigmas misstate conditional scales —
                                      # docs/performance.md round 3.)
     laplace_n_data: Optional[int] = None  # likelihood observation count n
+    init_optimize: int = 0           # warm-start Adam steps on the
+                                     # conditional -log p(q|frozen) before
+                                     # sampling (draw/mean policies: the VI
+                                     # mean can sit far below the
+                                     # conditional typical set — see
+                                     # docs/performance.md round 3)
+    init_optimize_lr: float = 1e-2
     sample_data: bool = False        # random trunk-point subsampling per draw
     p: int = 10201                   # trunk points kept when sample_data
                                      # (reference main_VI_HMC_burgers.py:131-138)

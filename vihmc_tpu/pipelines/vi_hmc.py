@@ -297,6 +297,39 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                        inv_mass=inv_mass)
 
     inits = chain_inits(cfg, spec, k_init)
+    if cfg.init_optimize:
+        # warm start at the conditional's approximate mode: under a FIXED
+        # frozen vector (draw/mean policies) the VI mean can sit tens of
+        # thousands of nats below the conditional typical set (the frozen
+        # draw's likelihood damage must be compensated by the sensitive
+        # coordinates), where every trajectory rejects and dual averaging
+        # death-spirals. A few Adam steps on -log p(q | frozen) before
+        # sampling fix the init; MCMC correctness is unaffected by where
+        # chains start. Per-chain spread comes from a small sigma-scaled
+        # jitter around the optimum.
+        import optax
+
+        trajectory_oracle = grad_fn  # clipped field; fall back to autodiff
+        if trajectory_oracle is None:
+            trajectory_oracle = jax.grad(lambda q, a: log_prob(q, a))
+
+        opt = optax.adam(cfg.init_optimize_lr)
+
+        def opt_step(carry, _):
+            q, opt_state = carry
+            g = trajectory_oracle(q, aux0)
+            updates, opt_state = opt.update(
+                jax.tree_util.tree_map(lambda x: -x, g), opt_state, q)
+            return (optax.apply_updates(q, updates), opt_state), None
+
+        q0 = spec.sub_mu()
+        (q_star, _), _ = jax.jit(lambda q: jax.lax.scan(
+            opt_step, (q, opt.init(q)), None,
+            length=cfg.init_optimize))(q0)
+        k_init2 = jax.random.fold_in(k_init, 7)
+        jitter = 0.1 * spec.sub_sigma() * jax.random.normal(
+            k_init2, (cfg.num_chains, spec.subspace_dim))
+        inits = q_star[None, :] + jitter
 
     gauss_field_used = None
     probe_acceptance = None
