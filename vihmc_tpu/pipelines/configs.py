@@ -115,7 +115,7 @@ class VIHMCRunConfig:
                                      # mean can sit far below the
                                      # conditional typical set — see
                                      # docs/performance.md round 3)
-    init_optimize_lr: float = 1e-2
+    init_optimize_lr: float = 0.1    # in kinetic-metric sigmas per step
     sample_data: bool = False        # random trunk-point subsampling per draw
     p: int = 10201                   # trunk points kept when sample_data
                                      # (reference main_VI_HMC_burgers.py:131-138)

@@ -313,21 +313,31 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         if trajectory_oracle is None:
             trajectory_oracle = jax.grad(lambda q, a: log_prob(q, a))
 
+        # optimize in the PRECONDITIONED space q = q0 + scale * z (scale =
+        # sqrt(inv_mass) — the kinetic metric's own length unit): a raw
+        # per-coordinate Adam lr is multiple metric-sigmas per step on the
+        # sharpest dims and oscillates instead of descending; in z-space
+        # ``init_optimize_lr`` means metric-sigmas per step.
+        scale = jnp.sqrt(inv_mass * jnp.ones((spec.subspace_dim,),
+                                             jnp.float32))
+        q0 = spec.sub_mu()
+
         opt = optax.adam(cfg.init_optimize_lr)
 
         def opt_step(carry, _):
-            q, opt_state = carry
-            g = trajectory_oracle(q, aux0)
+            z, opt_state = carry
+            g_z = scale * trajectory_oracle(q0 + scale * z, aux0)
             updates, opt_state = opt.update(
-                jax.tree_util.tree_map(lambda x: -x, g), opt_state, q)
-            return (optax.apply_updates(q, updates), opt_state), None
+                jax.tree_util.tree_map(lambda x: -x, g_z), opt_state, z)
+            return (optax.apply_updates(z, updates), opt_state), None
 
-        q0 = spec.sub_mu()
-        (q_star, _), _ = jax.jit(lambda q: jax.lax.scan(
-            opt_step, (q, opt.init(q)), None,
-            length=cfg.init_optimize))(q0)
+        z0 = jnp.zeros_like(q0)
+        (z_star, _), _ = jax.jit(lambda z: jax.lax.scan(
+            opt_step, (z, opt.init(z)), None,
+            length=cfg.init_optimize))(z0)
+        q_star = q0 + scale * z_star
         k_init2 = jax.random.fold_in(k_init, 7)
-        jitter = 0.1 * spec.sub_sigma() * jax.random.normal(
+        jitter = 0.5 * scale * jax.random.normal(
             k_init2, (cfg.num_chains, spec.subspace_dim))
         inits = q_star[None, :] + jitter
 
