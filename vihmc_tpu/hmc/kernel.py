@@ -437,7 +437,22 @@ def make_kernel(
                 lp0, g0 = vag(state.position, aux)
         else:
             aux = state.aux
-            lp0, g0 = state.log_prob, state.grad
+            # recompute lp0 IN-SCAN instead of trusting the carried value:
+            # the cached log-prob was produced by a different compiled
+            # dispatch (init_state, or the previous segment of a resumable
+            # run), and XLA's f32 reduction order differs between
+            # compilations — at reference scale (10M-term likelihood sums
+            # of magnitude ~1e5) the systematic offset is a few tenths of
+            # a nat, which enters EVERY MH delta as a constant bias and
+            # pins acceptance near exp(-bias) regardless of step size
+            # (measured: dual averaging wandering flat across decades of
+            # tiny steps at ~target acceptance — docs/performance.md round
+            # 3). One in-scan density eval per draw (the refresh path
+            # already pays it) removes the bias; the cached gradient is
+            # still used for the proposal (any deterministic field is
+            # valid there).
+            g0 = state.grad
+            lp0 = fn(state.position, aux)
 
         # --- step size: adapting iterate during burn, averaged after
         # (adapt_forever: adapting iterate throughout) ---
