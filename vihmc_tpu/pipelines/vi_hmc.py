@@ -456,9 +456,11 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         # reason); MEAN = the VI mean (default)
         frozen_base = None
         if cfg.frozen_policy == "draw":
-            frozen_base = aux0
+            frozen_base = aux0["frozen"] if isinstance(aux0, dict) else aux0
         elif cfg.frozen_policy == "refresh":
             final_aux = getattr(res.final_state, "aux", None)
+            if isinstance(final_aux, dict):  # subsampled variant carries
+                final_aux = final_aux.get("frozen")  # {'frozen','tidx'}
             if final_aux is not None:
                 a = jnp.asarray(final_aux)
                 frozen_base = a[0] if a.ndim == 2 else a
