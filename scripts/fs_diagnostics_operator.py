@@ -39,6 +39,9 @@ def main():
                     help="probe every thin-th KEPT draw")
     ap.add_argument("--probe-fns", type=int, default=8)
     ap.add_argument("--probe-pts", type=int, default=64)
+    ap.add_argument("--assets", default="assets/burgers_stage12.npz",
+                    help="stage-1/2 bundle the run's draws belong to (use "
+                         "assets/burgers_stage12_r2.npz for round-2 runs)")
     ap.add_argument("--out", default=None,
                     help="summary json path (default <run>/fs_summary.json)")
     args = ap.parse_args()
@@ -52,7 +55,7 @@ def main():
     from vihmc_tpu.pipelines.common import make_flat_deeponet
     from vihmc_tpu.pipelines.postprocess import function_space_diagnostics
 
-    meta = np.load("assets/burgers_stage12.npz")
+    meta = np.load(args.assets)
     mu, indices = meta["mu"], meta["indices"]
     demo = json.load(open(os.path.join(args.run, "demo_summary.json")))
     # the run's actual burn when recorded (run_operator_stage3.py writes it
