@@ -112,6 +112,31 @@ def test_vihmc_policies_and_priors(tmp_path):
             assert np.isfinite(np.asarray(out["result"].samples)).all()
 
 
+def test_vihmc_lowrank_metric():
+    """lowrank_rank>0 builds the Lanczos low-rank+diagonal kinetic metric
+    (hmc/metric.py — round-3 finding: the 90%-subspace conditional is
+    off-diagonally stiff beyond any diagonal metric) and samples with it."""
+    d = TINY_MLP.num_params
+    rng = np.random.default_rng(5)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=12, replace=False))}
+    cfg = C.VIHMCRunConfig(num_samples=20, num_chains=2, step_size=1e-2,
+                           frozen_policy="draw", vi_mass=True,
+                           lowrank_rank=3, tau_out=5e-2 ** 2)
+    out = vi_hmc.run_nn(cfg, TINY_MLP, artifacts, key=jax.random.key(6))
+    samples = np.asarray(out["result"].samples)
+    assert samples.shape[:2] == (2, 20)
+    assert np.isfinite(samples).all()
+    # unsupported combos surface as clear errors
+    import pytest as _pytest
+
+    bad = C.VIHMCRunConfig(num_samples=4, num_chains=1, lowrank_rank=2,
+                           algorithm="nuts", tau_out=5e-2 ** 2)
+    with _pytest.raises(ValueError, match="lowrank_rank"):
+        vi_hmc.run_nn(bad, TINY_MLP, artifacts, key=jax.random.key(7))
+
+
 def test_vihmc_chees_algorithm():
     """algorithm='chees' runs the coupled-chain adaptive sampler end-to-end."""
     d = TINY_MLP.num_params

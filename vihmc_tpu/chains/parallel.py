@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vihmc_tpu.hmc.kernel import HMCConfig, SampleResult, sample
+from vihmc_tpu.hmc.metric import LowRankMetric, as_inv_mass
 
 
 def make_chain_mesh(n_chain_shards: Optional[int] = None, n_data_shards: int = 1,
@@ -112,7 +113,7 @@ class ChainSampler:
         n_chains = init_positions.shape[0]
         chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
             jnp.arange(n_chains))
-        inv_mass = jnp.asarray(inv_mass, jnp.float32)
+        inv_mass = as_inv_mass(inv_mass)
         return self._fn(chain_keys, init_positions, inv_mass, aux, shard_data)
 
 
@@ -144,7 +145,7 @@ def sample_chains(
     """
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
-    inv_mass = jnp.asarray(inv_mass, jnp.float32)
+    inv_mass = as_inv_mass(inv_mass)
 
     fn = _build_chain_sampler(log_prob_fn, config, aux_refresh,
                               shard_log_prob_fn, mesh, grad_fn)
@@ -175,6 +176,9 @@ def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
 def sample_chains_nuts(log_prob_fn, init_positions, key, config, inv_mass=1.0,
                        aux=None, aux_refresh=None, mesh=None, grad_fn=None):
     """Multi-chain NUTS (vmap + mesh), mirroring :func:`sample_chains`."""
+    if isinstance(inv_mass, LowRankMetric):
+        raise TypeError("LowRankMetric is supported by the HMC kernel only "
+                        "(sample_chains); NUTS/ChEES take diagonal metrics")
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
@@ -212,6 +216,9 @@ def sample_chains_chees(log_prob_fn, init_positions, key, config, inv_mass=1.0,
     ``aux`` here is shared and gets a leading chain axis by tiling (each
     chain then refreshes its own copy via ``aux_refresh``).
     """
+    if isinstance(inv_mass, LowRankMetric):
+        raise TypeError("LowRankMetric is supported by the HMC kernel only "
+                        "(sample_chains); NUTS/ChEES take diagonal metrics")
     n_chains = init_positions.shape[0]
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     if aux is not None:

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vihmc_tpu.hmc.kernel import HMCConfig, SampleResult, make_kernel, init_state
+from vihmc_tpu.hmc.metric import as_inv_mass
 from vihmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint, latest_step
 
 
@@ -92,7 +93,7 @@ def sample_chains_resumable(
     if thin < 1 or segment_size % thin:
         raise ValueError("thin must divide segment_size")
 
-    inv_mass = jnp.asarray(inv_mass, jnp.float32)
+    inv_mass = as_inv_mass(inv_mass)
     runner = _build_segment_runner(
         log_prob_fn, dataclasses.replace(config, num_samples=0), segment_size,
         aux_refresh, grad_fn)

@@ -14,6 +14,9 @@ from vihmc_tpu.hmc.subspace import (FrozenPolicy, make_subspace_grad,
                                     make_subspace_log_prob, SubspaceSpec)
 from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
 from vihmc_tpu.hmc.chees import ChEESConfig, chees_sample
+from vihmc_tpu.hmc.metric import (LowRankMetric, estimate_lowrank_metric,
+                                  lanczos_eigs, lowrank_from_eigs,
+                                  make_lowrank_metric)
 
 
 def sample_model(*args, **kwargs):
@@ -55,4 +58,9 @@ __all__ = [
     "nuts_sample",
     "ChEESConfig",
     "chees_sample",
+    "LowRankMetric",
+    "estimate_lowrank_metric",
+    "lanczos_eigs",
+    "lowrank_from_eigs",
+    "make_lowrank_metric",
 ]

@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from vihmc_tpu.hmc.metric import mass_velocity
+
 
 def leapfrog(value_and_grad_fn, q, p, grad, step_size, num_steps, inv_mass=1.0):
     """``num_steps`` leapfrog steps. Returns (q, p, log_prob, grad).
@@ -29,13 +31,15 @@ def leapfrog(value_and_grad_fn, q, p, grad, step_size, num_steps, inv_mass=1.0):
     ----------
     value_and_grad_fn : q -> (log_prob, grad)  (gradient of LOG-PROB, not potential)
     grad : gradient at the initial ``q`` (carried to avoid re-evaluation)
-    inv_mass : scalar or (D,) diagonal inverse mass matrix
+    inv_mass : scalar/(D,) diagonal inverse mass, or a
+        :class:`vihmc_tpu.hmc.metric.LowRankMetric` (low-rank+diagonal
+        mass; the drift uses its O(Dk) Woodbury velocity)
     """
 
     def step(carry, _):
         q, p, g, _lp = carry
         p_half = p + 0.5 * step_size * g
-        q_new = q + step_size * (inv_mass * p_half)
+        q_new = q + step_size * mass_velocity(inv_mass, p_half)
         lp, g_new = value_and_grad_fn(q_new)
         p_new = p_half + 0.5 * step_size * g_new
         return (q_new, p_new, g_new, lp), None
@@ -63,7 +67,7 @@ def leapfrog_grad_only(grad_fn, q, p, grad, step_size, num_steps, inv_mass=1.0):
     def step(carry, _):
         q, p, g = carry
         p_half = p + 0.5 * step_size * g
-        q_new = q + step_size * (inv_mass * p_half)
+        q_new = q + step_size * mass_velocity(inv_mass, p_half)
         g_new = grad_fn(q_new)
         p_new = p_half + 0.5 * step_size * g_new
         return (q_new, p_new, g_new), None
@@ -92,7 +96,7 @@ def split_leapfrog(shard_value_and_grad_fn, shard_data, q, p, step_size, num_ste
         q, p = carry
         _, g = shard_value_and_grad_fn(q, shard)
         p = p + 0.5 * step_size * g
-        q = q + drift * (inv_mass * p)
+        q = q + drift * mass_velocity(inv_mass, p)
         _, g = shard_value_and_grad_fn(q, shard)
         p = p + 0.5 * step_size * g
         return (q, p), None

@@ -35,6 +35,8 @@ from vihmc_tpu.hmc.adaptation import (DualAveragingState, da_init, da_restart,
                                       da_update)
 from vihmc_tpu.hmc.integrators import (leapfrog, leapfrog_grad_only,
                                        split_leapfrog)
+from vihmc_tpu.hmc.metric import (LowRankMetric, mass_kinetic_energy,
+                                  mass_sample_momentum, mass_velocity)
 
 #: log-Hamiltonian-error threshold below which a transition counts as divergent
 DIVERGENCE_THRESHOLD = -1000.0
@@ -284,6 +286,10 @@ def _normalize_log_prob(log_prob_fn):
 def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
                inv_mass=1.0, grad_fn=None, key=None) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
+    if isinstance(inv_mass, LowRankMetric) and (
+            config.adapt_mass or config.init_step_search):
+        raise ValueError("LowRankMetric is a fixed metric: incompatible with "
+                         "adapt_mass / init_step_search")
     if grad_fn is not None:
         # state.grad must hold the SAME gradient field the trajectory uses
         # (reversibility); log_prob stays exact
@@ -413,6 +419,9 @@ def make_kernel(
         win_start, win_ends = mass_window_schedule(config.burn)
         windowed = len(win_ends) > 0
 
+    if isinstance(inv_mass, LowRankMetric) and config.adapt_mass:
+        raise ValueError("LowRankMetric is a fixed metric: incompatible with "
+                         "adapt_mass")
     if config.integrator == "splitting":
         if shard_log_prob_fn is None or shard_data is None:
             raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
@@ -485,9 +494,10 @@ def make_kernel(
         else:
             inv_mass_t = inv_mass
 
-        # --- momentum draw: p ~ N(0, M), M = inv_mass^-1 ---
-        p0 = jax.random.normal(key_mom, state.position.shape) / jnp.sqrt(inv_mass_t)
-        ke0 = 0.5 * jnp.sum(inv_mass_t * p0 * p0)
+        # --- momentum draw: p ~ N(0, M) (M = inv_mass^-1 for diagonal
+        # metrics; M = D + UU^T for LowRankMetric — hmc/metric.py) ---
+        p0 = mass_sample_momentum(inv_mass_t, key_mom, state.position)
+        ke0 = mass_kinetic_energy(inv_mass_t, p0)
 
         # --- trajectory ---
         if config.integrator == "splitting":
@@ -510,7 +520,7 @@ def make_kernel(
                 def lf_step(carry, i):
                     q, p, g = carry
                     p_half = p + 0.5 * eps * g
-                    q_new = q + eps * (inv_mass_t * p_half)
+                    q_new = q + eps * mass_velocity(inv_mass_t, p_half)
                     g_new = gfn(q_new, aux)
                     p_new = p_half + 0.5 * eps * g_new
                     keep = i < n_steps
@@ -525,7 +535,7 @@ def make_kernel(
                 def lf_step(carry, i):
                     q, p, g, lp = carry
                     p_half = p + 0.5 * eps * g
-                    q_new = q + eps * (inv_mass_t * p_half)
+                    q_new = q + eps * mass_velocity(inv_mass_t, p_half)
                     lp_new, g_new = vag(q_new, aux)
                     p_new = p_half + 0.5 * eps * g_new
                     keep = i < n_steps
@@ -545,7 +555,7 @@ def make_kernel(
         else:
             q1, p1, lp1, g1 = leapfrog(lambda q: vag(q, aux), state.position, p0,
                                        g0, eps, config.num_leapfrog, inv_mass_t)
-        ke1 = 0.5 * jnp.sum(inv_mass_t * p1 * p1)
+        ke1 = mass_kinetic_energy(inv_mass_t, p1)
 
         # --- Metropolis accept/reject with NaN-safe energies ---
         delta = (lp1 - ke1) - (lp0 - ke0)

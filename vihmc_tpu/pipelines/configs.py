@@ -109,6 +109,21 @@ class VIHMCRunConfig:
                                      # VI sigmas misstate conditional scales —
                                      # docs/performance.md round 3.)
     laplace_n_data: Optional[int] = None  # likelihood observation count n
+    lowrank_rank: int = 0            # >0: low-rank+diagonal kinetic metric
+                                     # M = D + UU^T — Lanczos on conditional
+                                     # Hessian-vector products at the VI mean
+                                     # finds the `rank` stiffest directions
+                                     # the diagonal metric (vi_mass/
+                                     # laplace_mass) misses, and the kernel
+                                     # samples/solves it exactly in O(Dk) via
+                                     # Woodbury (hmc/metric.py). The fix for
+                                     # off-diagonally-stiff conditionals
+                                     # (docs/performance.md round 3); plain
+                                     # 'hmc' only, no query subsampling
+    lowrank_iters: Optional[int] = None  # Lanczos iterations (default
+                                     # max(2*rank, rank+10); more = better
+                                     # converged Ritz pairs, each costs one
+                                     # HVP ~ 2 gradient evals)
     init_optimize: int = 0           # warm-start Adam steps on the
                                      # conditional -log p(q|frozen) before
                                      # sampling (draw/mean policies: the VI

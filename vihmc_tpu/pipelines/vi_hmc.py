@@ -218,6 +218,23 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
         cfg, full_forward, y_train, artifacts, k_frozen, full_ll=full_ll)
 
+    # the (D,) diagonal metric view: preconditioned-norm clipping and the
+    # init-optimizer's step scaling stay diagonal even when the kinetic
+    # metric itself is low-rank+diagonal
+    inv_mass_diag = inv_mass
+    if cfg.lowrank_rank:
+        if cfg.algorithm != "hmc" or subsample is not None:
+            raise ValueError("lowrank_rank requires algorithm='hmc' and no "
+                             "query subsampling")
+        from vihmc_tpu.hmc.metric import estimate_lowrank_metric
+
+        diag = inv_mass * jnp.ones((spec.subspace_dim,), jnp.float32)
+        inv_mass_diag = diag
+        inv_mass = estimate_lowrank_metric(
+            log_prob, spec.sub_mu(), diag, rank=cfg.lowrank_rank,
+            num_iters=cfg.lowrank_iters,
+            key=jax.random.fold_in(k_frozen, 0x10e), aux=aux0)
+
     grad_fn = None
     if full_grad is not None:
         if cfg.algorithm not in ("hmc", "chees", "nuts") or subsample is not None:
@@ -288,13 +305,14 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         from vihmc_tpu.hmc import clipped_grad_fn
 
         if grad_fn is not None:
-            grad_fn = clipped_grad_fn(grad_fn, cfg.clip_grad, inv_mass=inv_mass)
+            grad_fn = clipped_grad_fn(grad_fn, cfg.clip_grad,
+                                      inv_mass=inv_mass_diag)
         else:
             grad_fn = clipped_grad_fn(log_prob, cfg.clip_grad,
-                                      inv_mass=inv_mass, is_grad=False)
+                                      inv_mass=inv_mass_diag, is_grad=False)
         if gauss_fn is not None:
             gauss_fn = clipped_grad_fn(gauss_fn, cfg.clip_grad,
-                                       inv_mass=inv_mass)
+                                       inv_mass=inv_mass_diag)
 
     inits = chain_inits(cfg, spec, k_init)
     if cfg.init_optimize:
@@ -318,8 +336,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
         # per-coordinate Adam lr is multiple metric-sigmas per step on the
         # sharpest dims and oscillates instead of descending; in z-space
         # ``init_optimize_lr`` means metric-sigmas per step.
-        scale = jnp.sqrt(inv_mass * jnp.ones((spec.subspace_dim,),
-                                             jnp.float32))
+        scale = jnp.sqrt(inv_mass_diag * jnp.ones((spec.subspace_dim,),
+                                                  jnp.float32))
         q0 = spec.sub_mu()
 
         opt = optax.adam(cfg.init_optimize_lr)
