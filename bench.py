@@ -132,6 +132,7 @@ TORCH_ESS_MEASURED = 0.00372
 #: scale — weight-space tau >> 300 on the r3 posterior.
 NINETYPCT_MEASURED = {
     "ess_per_s": 0.203,
+    "asset": "stress", "frozen_policy": "refresh",
     "ess_median_by_key": [23.8, 24.4, 24.5],
     "wall_s_by_key": [111.96, 120.64, 135.23],
     "subspace_dim": 37294,
@@ -285,7 +286,8 @@ NN_STAGE12_ASSETS = os.path.join(_ASSET_DIR, "nn_stage12.npz")
 LAST_PROBLEM_PROVENANCE = {}
 
 
-def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
+def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None,
+                  asset: str = "prod"):
     """Bench posterior. Reference scale loads the cached REAL stage-1/2
     artifacts: the VI posterior the sensitivity stage actually scored, with
     the top-``sub_dim`` most-sensitive parameters as the HMC subspace and
@@ -296,8 +298,11 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
     Operator_network/VI_HMC/main_VI_HMC_burgers.py:283 +
     VI/config_sens.py:33; ~81k dims); the default top-2048 is kept for
     cross-round comparability with round 1's tuning.
-    Falls back to the round-1 synthetic problem only if the asset bundle is
-    missing (flagged in LAST_PROBLEM_PROVENANCE / the bench JSON)."""
+    ``asset`` selects the stage-1/2 bundle regime: 'prod' (400-epoch
+    production VI fit — the headline) or 'stress' (2400-epoch stiff fit —
+    the low-rank-metric stress row). Falls back to the round-1 synthetic
+    problem only if the asset bundle is missing (flagged in
+    LAST_PROBLEM_PROVENANCE / the bench JSON)."""
     import jax
     import jax.numpy as jnp
 
@@ -321,10 +326,11 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
     apply_flat, flat0, _ = make_flat_deeponet(cfg, compute_dtype=compute_dtype)
     d = flat0.shape[0]
 
-    if not quick and os.path.exists(STAGE12_ASSETS):
+    asset_path = OPERATOR_ASSETS[asset]
+    if not quick and os.path.exists(asset_path):
         from vihmc_tpu.data import get_burgers
 
-        z = np.load(STAGE12_ASSETS)
+        z = np.load(asset_path)
         train_split, _ = get_burgers(jax.random.key(int(z["data_seed"])),
                                      int(z["n_train"]), int(z["n_valid"]),
                                      nx=int(z["nx"]), nt=int(z["nt"]))
@@ -344,7 +350,9 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
             sub_desc = f"top-{sub_dim} of {len(z['scores'])} by sensitivity score"
         LAST_PROBLEM_PROVENANCE = {
             "posterior": "vi_fit",
-            "assets": os.path.basename(STAGE12_ASSETS),
+            "assets": os.path.basename(asset_path),
+            "asset_regime": asset,
+            "asset_path": asset_path,
             "vi_valid_mse_best": float(np.min(z["vi_valid_mse"])),
             "subspace": sub_desc,
         }
@@ -354,10 +362,10 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None):
     if sub_dim == "90pct":
         raise FileNotFoundError(
             f"--subspace 90pct needs the stage-1/2 asset bundle "
-            f"({STAGE12_ASSETS}); the synthetic fallback has no "
+            f"({asset_path}); the synthetic fallback has no "
             f"captured-variance index set")
     if not quick:
-        print(f"# WARNING: {STAGE12_ASSETS} missing; falling back to the "
+        print(f"# WARNING: {asset_path} missing; falling back to the "
               f"synthetic round-1 posterior", file=sys.stderr)
     rng = np.random.default_rng(0)
     branch_x = jnp.asarray(rng.normal(size=(n_fn, cfg.in_branch)), jnp.float32)
@@ -381,7 +389,9 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               fn_stride=None, gauss_alpha=None, coupled: bool = False,
               sub_dim=None, chains=None, segment=None,
               windowed_mass: bool = False, thin: int = 1, num_leapfrog=None,
-              frozen_policy: str = "refresh", laplace_mass: bool = False):
+              frozen_policy: str = "draw", laplace_mass: bool = False,
+              asset: str = "prod", lowrank_rank: int = 0,
+              lowrank_iters=None):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -400,7 +410,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     from vihmc_tpu.pipelines.common import make_deeponet_nll_log_posterior
 
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
-        build_problem(quick, compute_dtype, draws=draws, sub_dim=sub_dim)
+        build_problem(quick, compute_dtype, draws=draws, sub_dim=sub_dim,
+                      asset=asset)
     if chains is not None:
         n_chains = chains
     bench_l = BENCH_L if num_leapfrog is None else num_leapfrog
@@ -434,7 +445,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         if LAST_PROBLEM_PROVENANCE.get("posterior") != "vi_fit":
             raise ValueError("--laplace-mass needs the real stage-1/2 asset "
                              "posterior (scores are per-parameter artifacts)")
-        z_mass = np.load(STAGE12_ASSETS)
+        z_mass = np.load(LAST_PROBLEM_PROVENANCE["asset_path"])
         idx_np = np.asarray(idx)
         g2 = z_mass["scores"][idx_np] / np.maximum(
             z_mass["sigma"][idx_np] ** 2, 1e-30)
@@ -448,6 +459,25 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
 
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
+
+    # kinetic metric actually handed to the sampler. Diagonal by default;
+    # with lowrank_rank > 0 the Lanczos-estimated low-rank+diagonal mass
+    # M = D + UU^T (hmc/metric.py) corrects the `rank` stiffest conditional
+    # curvature directions the diagonal misses (the round-3 finding: the
+    # 90%-subspace conditional is off-diagonally stiff ~1e4x the diagonal
+    # Fisher — no diagonal metric samples it). Eigenpairs are cached under
+    # runs/lanczos_cache keyed by (asset, subspace, diag kind, rank, iters)
+    # so the expensive HVP Lanczos pass runs once per configuration — and
+    # can be precomputed in its OWN process (scripts/tpu_lanczos_metric.py)
+    # to keep one large jit graph per TPU process (CLAUDE.md).
+    kinetic_metric = inv_mass_vec
+    lowrank_extras = None
+    if lowrank_rank and compute_dtype is None:
+        kinetic_metric, lowrank_extras = _lowrank_metric_cached(
+            log_prob, spec, aux0, inv_mass_vec, lowrank_rank, lowrank_iters,
+            tag=(f"{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
+                 f"_d{len(idx)}_{'lap' if laplace_mass else 'vi'}"
+                 f"_{frozen_policy}"))
 
     grad_fn = None
     if gauss_alpha is not None and compute_dtype is None:
@@ -538,16 +568,28 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     # alone is (32, 120, 81131) fp32 = 1.25 GB of HBM + host transfer per
     # segment; 60 halves the footprint (the flagship demo ran 84-draw
     # segments at 24 chains clean)
+    # per-dispatch wall marks (VERDICT r3 item 6: localize the 40% wall
+    # spread — if one segment of one key blows up it is tunnel jitter, if a
+    # whole key is uniformly slower it is claim/compile overhead)
+    last_seg_walls = []
     seg = segment if segment is not None else (120 if len(idx) <= 16384 else 60)
     if thin > 1 and (seg % thin or n_burn % thin):
         raise ValueError("--thin must divide the segment size and burn")
     if n_samples > seg:
         def run(key, n=n_samples):
             cfg_n = dataclasses.replace(hmc_cfg, num_samples=n)
+            last_seg_walls.clear()
+            t_ref = [time.perf_counter()]
+
+            def _mark(seg_i, n_segs, state):
+                now = time.perf_counter()
+                last_seg_walls.append(round(now - t_ref[0], 3))
+                t_ref[0] = now
+
             return sample_chains_resumable(
                 log_prob, inits, key, cfg_n, segment_size=seg,
-                inv_mass=inv_mass_vec, aux=aux0, aux_refresh=refresh,
-                grad_fn=grad_fn, thin=thin)
+                inv_mass=kinetic_metric, aux=aux0, aux_refresh=refresh,
+                grad_fn=grad_fn, thin=thin, progress=_mark)
 
         def warmup(key):
             return run(key, n=seg)
@@ -556,8 +598,9 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             raise ValueError("thin requires the segmented path (draws > segment)")
 
         def run(key):
+            last_seg_walls.clear()
             return sample_chains(log_prob, inits, key, hmc_cfg,
-                                 inv_mass=inv_mass_vec,
+                                 inv_mass=kinetic_metric,
                                  aux=aux0, aux_refresh=refresh,
                                  grad_fn=grad_fn)
 
@@ -616,6 +659,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             "ess_per_s": float(np.median(ess)) / elapsed,
             "acceptance": float(res.acceptance_rate),
         }
+        if last_seg_walls:
+            stats_k["seg_wall_s"] = list(last_seg_walls)
         if floor_frac > 0.01:
             # the raw estimator's sub-1 tau floor binds: the raw ESS would
             # flatter stuck chains, so such a config cannot be a headline
@@ -653,17 +698,80 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "draws": n_samples,
         "burn": n_burn,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
+        "frozen_policy": frozen_policy,
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
+    if lowrank_extras is not None:
+        stats["lowrank_metric"] = lowrank_extras
     try:
         total_flops = _sampling_flops(
             log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state, inits,
-            aux0, inv_mass_vec, n_samples)
+            aux0, kinetic_metric, n_samples)
         stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
     except Exception as e:  # MFU is best-effort; never kill the bench
         print(f"# mfu measurement failed: {type(e).__name__}: {e}",
               file=sys.stderr)
     return stats, (cfg, mu, sigma, idx)
+
+
+def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
+                           tag):
+    """Build (or load from runs/lanczos_cache) the low-rank+diagonal kinetic
+    metric for the bench posterior: Lanczos on preconditioned conditional
+    Hessian-vector products at the VI mean (hmc/metric.py). Returns
+    (LowRankMetric, provenance dict incl. the discovered spectrum — the
+    leading-eigenspace evidence VERDICT r3 item 2 asks for)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.hmc.metric import (lanczos_eigs, lowrank_from_eigs,
+                                      preconditioned_hvp)
+
+    iters_eff = int(iters) if iters else max(2 * rank, rank + 10)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "runs", "lanczos_cache")
+    fname = os.path.join(cache_dir, f"{tag}_k{rank}_i{iters_eff}.npz")
+    diag = (jnp.asarray(diag_inv_mass, jnp.float32)
+            * jnp.ones((spec.subspace_dim,), jnp.float32))
+    cached = os.path.exists(fname)
+    if cached:
+        z = np.load(fname)
+        eigvals = jnp.asarray(z["eigvals"])
+        eigvecs = jnp.asarray(z["eigvecs"])
+        lanczos_s = float(z["lanczos_s"])
+    else:
+        t0 = time.perf_counter()
+
+        @jax.jit
+        def eigs(q0, diag):
+            mv = preconditioned_hvp(log_prob, q0, diag, aux=aux0)
+            return lanczos_eigs(mv, q0.shape[0], rank, num_iters=iters_eff,
+                                key=jax.random.key(0x10E))
+
+        eigvals, eigvecs = eigs(spec.sub_mu(), diag)
+        eigvals = jnp.asarray(np.asarray(eigvals))  # block + host copy
+        lanczos_s = time.perf_counter() - t0
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(fname, eigvals=np.asarray(eigvals),
+                 eigvecs=np.asarray(eigvecs), lanczos_s=lanczos_s)
+        print(f"# lanczos: rank {rank}, {iters_eff} iters in "
+              f"{lanczos_s:.1f}s -> {os.path.basename(fname)}",
+              file=sys.stderr)
+    metric = lowrank_from_eigs(diag, jnp.maximum(eigvals, 1.0), eigvecs)
+    ev = np.asarray(eigvals)
+    extras = {
+        "rank": rank, "iters": iters_eff, "lanczos_s": round(lanczos_s, 1),
+        "cached": cached, "cache": os.path.basename(fname),
+        # preconditioned curvature spectrum: lambda ~ 1 means the diagonal
+        # metric was already right; lambda >> 1 is the off-diagonal
+        # stiffness the low-rank part corrects
+        "eig_top8": [round(float(x), 1) for x in ev[:8]],
+        "eig_min_kept": round(float(ev.min()), 2),
+        "n_above_10": int((ev > 10).sum()),
+        "n_above_100": int((ev > 100).sum()),
+        "n_above_1000": int((ev > 1000).sum()),
+    }
+    return metric, extras
 
 
 def bench_grad_path(quick: bool, iters: int = 30):
@@ -742,7 +850,8 @@ def build_nn_problem(quick: bool = False):
     return mlp, apply_flat, data["x_train"], data["y_train"], mu, sigma, idx
 
 
-def bench_nn(quick: bool, skip_baseline: bool = False):
+def bench_nn(quick: bool, skip_baseline: bool = False,
+             frozen_policy: str = "draw", step=None, L=None, chains=None):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
     subspace VI-HMC on the 141-param regression MLP (asset-defined subspace
     at the 90% captured-variance threshold, NLL tau_out=5e-2^2, refresh
@@ -773,8 +882,10 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
     def full_ll(flat):
         return like(apply_flat(flat, x), y, 5e-2 ** 2)
 
+    policy = {"refresh": FrozenPolicy.REFRESH, "mean": FrozenPolicy.MEAN,
+              "draw": FrozenPolicy.DRAW}[frozen_policy]
     lp_like, aux0, refresh = make_subspace_log_prob(
-        full_ll, spec, FrozenPolicy.REFRESH, init_key=jax.random.key(0))
+        full_ll, spec, policy, init_key=jax.random.key(0))
     prior = DiagonalGaussianPrior(loc=spec.sub_mu(), scale=spec.sub_sigma())
 
     def log_prob(q, aux):
@@ -786,7 +897,12 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
     # (docstring above). 360 draws: the steady-state methodology of the
     # operator bench (round-1 VERDICT item 3) — at 120 draws the per-key
     # ESS/s spread on the real posterior was +-27%
-    n_chains, n_samples, L, step = (4, 20, 8, 0.1) if quick else (1024, 360, 96, 0.1)
+    n_chains, n_samples, l_eff, step_eff = ((4, 20, 8, 0.1) if quick
+                                             else (1024, 360, 96, 0.1))
+    if chains is not None:
+        n_chains = chains
+    L = l_eff if L is None else L
+    step = step_eff if step is None else step
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
                     burn=n_samples // 5, sampler="hmc",
@@ -836,7 +952,9 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
+        "L": L, "step": step,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
+        "frozen_policy": frozen_policy,
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
     try:
@@ -856,7 +974,8 @@ def bench_nn(quick: bool, skip_baseline: bool = False):
             tb = bench_torch_baseline_nn(
                 x, y, mu, sigma, idx, L, float(cfg.step_size), n_samples,
                 ref_forward=lambda f: apply_flat(f, x), collect=True,
-                jitter_low_frac=BENCH_JITTER_LOW)
+                jitter_low_frac=BENCH_JITTER_LOW,
+                frozen_policy=frozen_policy)
             if tb is not None:
                 stats["torch_cpu_samples_per_s"] = tb["samples_per_s"]
                 stats["vs_baseline"] = stats["samples_per_s"] / tb["samples_per_s"]
@@ -947,7 +1066,8 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
 
 def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
                             ref_forward=None, max_seconds: float = 120.0,
-                            collect: bool = False, jitter_low_frac=None):
+                            collect: bool = False, jitter_low_frac=None,
+                            frozen_policy: str = "refresh"):
     """Identical NN posterior + kernel in torch on CPU (reference substrate).
 
     Mirrors ``bench_nn``'s posterior: 141-param tanh MLP (NLL likelihood,
@@ -1015,8 +1135,15 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
     # ESS (collect) mode: same preconditioned trajectory-gradient clip as
     # the jax NN headline (clipped_grad_fn, 13*sqrt(d))
     clip = 13.0 * len(idx) ** 0.5 if collect else None
+    if frozen_policy == "refresh":
+        draw_frozen = lambda: mu_t + sigma_t * torch.randn_like(mu_t)
+    elif frozen_policy == "draw":
+        frozen0 = mu_t + sigma_t * torch.randn_like(mu_t)
+        draw_frozen = lambda: frozen0
+    else:
+        draw_frozen = lambda: mu_t
     return _torch_hmc_timing(
-        log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
+        log_prob, draw_frozen,
         mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds,
         collect=collect, jitter_low_frac=jitter_low_frac, clip_norm=clip)
 
@@ -1145,11 +1272,34 @@ def main():
                          "key for cheap variant exploration)")
     ap.add_argument("--L", type=int, default=None,
                     help=f"trajectory length override (default {BENCH_L})")
-    ap.add_argument("--frozen-policy", default="refresh",
+    ap.add_argument("--frozen-policy", default="draw",
                     choices=["refresh", "mean", "draw"],
-                    help="frozen-coordinate policy (reference options: "
-                         "refresh each draw / fix at VI mean / fix at one "
-                         "VI draw)")
+                    help="frozen-coordinate policy. Default 'draw' (one "
+                         "fixed VI draw -- a well-defined conditional, and "
+                         "the reference's effective semantics, "
+                         "my_make_func.py:41-50). 'refresh' (per-draw "
+                         "redraw) is kept for parity studies only: the "
+                         "round-3 forensics proved it ratchets (invalid "
+                         "pseudo-Gibbs) on sharply-trained VI fits -- "
+                         "docs/performance.md round 3")
+    ap.add_argument("--asset", default="prod", choices=["prod", "stress"],
+                    help="stage-1/2 bundle: 'prod' = 400-epoch production "
+                         "VI fit (headline); 'stress' = 2400-epoch stiff "
+                         "fit (off-diagonal curvature ~1e4x diagonal "
+                         "Fisher -- the low-rank-metric stress row)")
+    ap.add_argument("--lowrank-mass", type=int, default=0, metavar="K",
+                    help="low-rank+diagonal kinetic metric: correct the K "
+                         "stiffest preconditioned curvature directions via "
+                         "Lanczos on conditional HVPs (hmc/metric.py; "
+                         "composes with --laplace-mass for the diagonal). "
+                         "Eigenpairs cache under runs/lanczos_cache")
+    ap.add_argument("--lowrank-iters", type=int, default=None,
+                    help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--no-nn-row", action="store_true",
+                    help="skip the NN-workload row the default invocation "
+                         "appends to the operator JSON")
+    ap.add_argument("--nn-step", type=float, default=None,
+                    help="NN workload step-size override (tuning)")
     ap.add_argument("--laplace-mass", action="store_true",
                     help="kinetic metric from the stage-2 Fisher (diagonal "
                          "conditional-Laplace scales) instead of VI sigma^2")
@@ -1238,7 +1388,9 @@ def main():
         args.coupled = True
 
     if args.workload == "nn":
-        nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline)
+        nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline,
+                            frozen_policy=args.frozen_policy,
+                            step=args.nn_step, L=args.L, chains=args.chains)
         vsb = nn_stats.pop("vs_baseline", None)
         print(json.dumps({
             "metric": "ess_per_sec_vihmc_nn",
@@ -1261,7 +1413,10 @@ def main():
                              windowed_mass=args.windowed_mass,
                              thin=args.thin, keys=keys, num_leapfrog=args.L,
                              frozen_policy=args.frozen_policy,
-                             laplace_mass=args.laplace_mass)
+                             laplace_mass=args.laplace_mass,
+                             asset=args.asset,
+                             lowrank_rank=args.lowrank_mass,
+                             lowrank_iters=args.lowrank_iters)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
@@ -1303,13 +1458,15 @@ def main():
         else:
             jax_stats["vs_baseline_kind"] = "framework_trajectory_field"
             jax_stats["vs_baseline_framework"] = round(vs_baseline, 2)
-            if LIKE_FOR_LIKE_MEASURED is not None:
+            if LIKE_FOR_LIKE_MEASURED is not None and args.asset == "stress":
                 jax_stats["vs_baseline_like_for_like"] = LIKE_FOR_LIKE_MEASURED
 
     # like-for-like ratio in the NORTH-STAR metric (ESS/s): jax full-grid
     # ESS/s over the torch loop's measured ESS/s at the same kernel config
-    # (both constants carry their measurement provenance above)
-    if TORCH_ESS_MEASURED is not None:
+    # (both constants carry their measurement provenance above). The
+    # constants were measured on the 2400-epoch (now 'stress') posterior;
+    # they only describe that asset.
+    if TORCH_ESS_MEASURED is not None and args.asset == "stress":
         jax_stats["torch_cpu_ess_per_s"] = TORCH_ESS_MEASURED
         num = jax_stats["ess_per_s"] if full_grid else FULLGRID_ESS_MEASURED
         if num is not None:
@@ -1319,6 +1476,30 @@ def main():
     # 2048-dim headline carries the measured reference-scale 90% row
     if args.subspace is None and NINETYPCT_MEASURED is not None:
         jax_stats["subspace_90pct"] = NINETYPCT_MEASURED
+
+    # BOTH north-star workloads in one driver JSON (VERDICT r3 item 5): the
+    # default invocation appends the NN-workload row (its own posterior,
+    # sampler config, and measured torch baseline)
+    if (not args.quick and not args.no_nn_row and args.subspace is None
+            and args.draws is None and args.keys is None
+            and args.chains is None):
+        try:
+            nn_row = bench_nn(args.quick, skip_baseline=args.skip_baseline,
+                              frozen_policy=args.frozen_policy,
+                              step=args.nn_step)
+            vsb_nn = nn_row.pop("vs_baseline", None)
+            jax_stats["nn"] = {
+                "metric": "ess_per_sec_vihmc_nn",
+                "value": round(nn_row["ess_per_s"], 3),
+                "unit": "effective_samples/s/chip",
+                "vs_baseline": (round(vsb_nn, 2) if vsb_nn is not None
+                                else None),
+                "extras": {k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in nn_row.items()},
+            }
+        except Exception as e:
+            print(f"# nn row failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "ess_per_sec_vihmc_deeponet",

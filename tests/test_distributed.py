@@ -76,10 +76,15 @@ def test_two_process_cpu_execution():
     assert ps.returncode == 0, errs[-2000:]
     ref = _result_line(outs)
     assert ref["processes"] == 1 and ref["devices"] == 8
-    # cross-process == single-process diagnostics (same chains, same keys)
-    assert res["acceptance"] == pytest.approx(ref["acceptance"], abs=1e-6)
-    assert res["max_rhat"] == pytest.approx(ref["max_rhat"], rel=1e-4)
-    assert res["median_ess"] == pytest.approx(ref["median_ess"], rel=1e-4)
+    # cross-process == single-process diagnostics (same chains, same keys).
+    # Tolerances are LOOSE on purpose (ADVICE r3): exact equality held on
+    # this CPU backend, but it rides bitwise-reproducible f32 reductions
+    # across two distinct XLA compilations/shardings — fusion or
+    # reduction-order changes across topologies/versions may perturb at
+    # float noise scale without the distributed path being wrong.
+    assert res["acceptance"] == pytest.approx(ref["acceptance"], abs=1e-3)
+    assert res["max_rhat"] == pytest.approx(ref["max_rhat"], rel=1e-2)
+    assert res["median_ess"] == pytest.approx(ref["median_ess"], rel=5e-2)
 
 
 def test_missing_peer_degrades_gracefully():

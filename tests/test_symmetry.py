@@ -46,6 +46,36 @@ def test_orbit_element_preserves_deeponet_function():
             atol=1e-4)
 
 
+def test_orbit_element_preserves_hetero_head_function():
+    """With noise_neurons > 0 the mean and noise heads read DISJOINT channel
+    ranges, so merge-channel permutations must stay within each block
+    (ADVICE r3: a cross-boundary permutation changed the function by ~1.27)."""
+    cfg = DeepONetConfig(in_branch=9, in_trunk=5, width_branch=6,
+                         width_trunk=6, depth_branch=3, depth_trunk=3,
+                         noise_neurons=2)
+    apply_flat, _, _ = make_flat_deeponet(cfg)
+    flat = _rand_flat(11, make_flat_deeponet, cfg)
+    bx = jnp.asarray(np.random.default_rng(1).normal(size=(4, 9)), jnp.float32)
+    tx = jnp.asarray(np.random.default_rng(2).uniform(size=(7, 2)), jnp.float32)
+    y0, n0 = apply_flat(jnp.asarray(flat, jnp.float32), bx, tx)
+    for seed in range(3):
+        orb = random_orbit_element(seed, flat, cfg, kind="deeponet",
+                                   permute=True)
+        y1, n1 = apply_flat(jnp.asarray(orb, jnp.float32), bx, tx)
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(n0), np.asarray(n1), atol=1e-4)
+    # canonicalization with permutation also preserves both heads
+    ref = _rand_flat(12, make_flat_deeponet, cfg)
+    can = canonicalize_deeponet(flat, ref, cfg, permute=True)
+    y1, n1 = apply_flat(jnp.asarray(can, jnp.float32), bx, tx)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(n0), np.asarray(n1), atol=1e-4)
+    # and is still orbit-invariant within the blocked group
+    orb = random_orbit_element(5, flat, cfg, kind="deeponet", permute=True)
+    can2 = canonicalize_deeponet(orb, ref, cfg, permute=True)
+    np.testing.assert_allclose(can, can2, atol=1e-6)
+
+
 def test_orbit_element_preserves_mlp_function():
     apply_flat, _, _ = make_flat_mlp(MLP_CFG)
     flat = _rand_flat(3, make_flat_mlp, MLP_CFG)

@@ -31,9 +31,16 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     necessary metadata; SLURM via the standard env vars). Returns True if
     distributed mode was initialized, False for single-process runs.
 
-    ``initialization_timeout`` (seconds) bounds the coordinator handshake —
-    a missing peer then degrades to a False return (graceful
-    single-process fallback) instead of blocking for the 5-minute default.
+    ``initialization_timeout`` (seconds) bounds the coordinator handshake.
+    SCOPE of the graceful False-return fallback (ADVICE r3): it covers only
+    NON-ZERO ranks whose coordinator TCP port is unreachable (probed with a
+    plain connect below). Process 0 — and any rank whose coordinator is
+    reachable but whose peers never complete the handshake — still reaches
+    ``jax.distributed.initialize``, where the coordination-service client
+    aborts the process at the deadline (C++ LOG(FATAL)) instead of
+    returning; there is no Python-level hook to soften that path.
+    ``coordinator_address`` must be ``host:port`` when the timeout fallback
+    is requested (validated below).
     """
     import jax
 
@@ -53,7 +60,11 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
         import socket
         import time as _time
 
-        host, _, port = coordinator_address.rpartition(":")
+        host, sep, port = coordinator_address.rpartition(":")
+        if not sep or not port.isdigit():
+            raise ValueError(
+                f"coordinator_address must be 'host:port' when "
+                f"initialization_timeout is set (got {coordinator_address!r})")
         deadline = _time.time() + initialization_timeout
         reachable = False
         while _time.time() < deadline and not reachable:

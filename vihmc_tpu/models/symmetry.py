@@ -129,11 +129,13 @@ def canonicalize_deeponet(draws, ref, cfg, permute: bool = False):
 
     Handles (a) tanh hidden-unit sign flips/permutations inside the branch
     and trunk stacks and (b) the merge-channel symmetry: channel k of the
-    branch AND trunk final layers negated (or permuted) together. With a
-    heteroscedastic head the reserved channels carry the same paired
-    symmetry (both heads are dot products over their channel ranges,
-    /root/reference/Operator_network/VI/bayesian_model.py:86-92), so all K
-    channels participate.
+    branch AND trunk final layers negated (or permuted) together. Sign
+    flips apply to all K channels. Permutations must NOT cross the
+    mean/noise head boundary when ``cfg.noise_neurons > 0``: the two heads
+    are dot products over DISJOINT channel ranges ([0, K-n) and [K-n, K),
+    /root/reference/Operator_network/VI/bayesian_model.py:86-92), so a
+    cross-boundary swap changes the network function — the assignment is
+    therefore solved per head block.
     """
     one = draws.ndim == 1
     draws = np.array(np.atleast_2d(draws), dtype=np.float64, copy=True)
@@ -155,11 +157,20 @@ def canonicalize_deeponet(draws, ref, cfg, permute: bool = False):
              bt[:, :, None] * rbt[0][None, None, :])
         from scipy.optimize import linear_sum_assignment
 
+        k_total = wb.shape[1]
+        k_main = k_total - getattr(cfg, "noise_neurons", 0)
+        blocks = [np.arange(0, k_main)]
+        if k_main < k_total:
+            blocks.append(np.arange(k_main, k_total))
         for k in range(n):
-            row, col = linear_sum_assignment(-np.abs(a[k]))
-            perm = np.empty_like(col)
-            perm[col] = row
-            sign = np.sign(a[k][perm, np.arange(len(col))])
+            perm = np.empty(k_total, dtype=np.int64)
+            for blk in blocks:
+                sub = a[k][np.ix_(blk, blk)]
+                row, col = linear_sum_assignment(-np.abs(sub))
+                p_blk = np.empty_like(col)
+                p_blk[col] = row
+                perm[blk] = blk[p_blk]
+            sign = np.sign(a[k][perm, np.arange(k_total)])
             sign[sign == 0] = 1.0
             wb[k] = wb[k][perm] * sign[:, None]
             bb[k] = bb[k][perm] * sign
@@ -213,7 +224,15 @@ def random_orbit_element(key_rng, flat, cfg, kind: str = "deeponet",
     bt, wt = _views(out, trunk[-1])
     k_lat = wb.shape[1]
     sign = rng.choice([-1.0, 1.0], size=k_lat)
-    perm = rng.permutation(k_lat) if permute else np.arange(k_lat)
+    perm = np.arange(k_lat)
+    if permute:
+        # permutations stay within each head's channel block (the mean and
+        # noise heads read disjoint ranges — see canonicalize_deeponet)
+        k_main = k_lat - (getattr(cfg, "noise_neurons", 0)
+                          if kind != "mlp" else 0)
+        perm[:k_main] = rng.permutation(k_main)
+        if k_main < k_lat:
+            perm[k_main:] = k_main + rng.permutation(k_lat - k_main)
     wb[0] = wb[0][perm] * sign[:, None]
     bb[0] = bb[0][perm] * sign
     wt[0] = wt[0][perm] * sign[:, None]

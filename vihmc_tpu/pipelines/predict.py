@@ -52,7 +52,9 @@ def streaming_predictive_metrics(log_prob_and_forward: Callable, samples, y) -> 
 
     sum_pred, (log_probs, sample_mse) = jax.lax.scan(
         step, jnp.zeros_like(y), samples)
-    mean_pred = sum_pred / samples.shape[0]
+    # samples may be a pytree (e.g. (rows, chain_ids)); S = leading axis
+    n_s = jax.tree_util.tree_leaves(samples)[0].shape[0]
+    mean_pred = sum_pred / n_s
     return {
         "sample_mse": sample_mse,
         "expected_mse_of_mean": jnp.mean((mean_pred - y) ** 2),

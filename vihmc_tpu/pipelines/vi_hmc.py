@@ -134,6 +134,9 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
     sampler's ``self.sampled_weights`` for exactly this reason,
     my_make_func.py:47-49). Default: the VI mean (correct for the MEAN
     policy; callers with DRAW/REFRESH should pass the sampler's aux).
+    A (C, D) array gives each chain its own base (REFRESH under vmap: every
+    chain carries its own frozen draws — ADVICE r3) — each pooled sample is
+    then scored against its own chain's base.
 
     Metrics stream over all pooled samples (O(eval-set) memory); the returned
     ``predictions`` array is a uniform thinning to at most
@@ -154,32 +157,44 @@ def evaluate_samples(cfg: VIHMCRunConfig, spec: SubspaceSpec, prior, eval_forwar
     if samples.ndim == 2:
         samples = samples[None]
     burn = cfg.burn_
+    per_chain_base = base.ndim == 2
 
-    def lp_and_pred(q_sub):
-        full = scatter_subspace(base, q_sub, idx)
+    def lp_and_pred(q_sub, cid=None):
+        b = base[cid] if per_chain_base else base
+        full = scatter_subspace(b, q_sub, idx)
         pred = eval_forward(full)
         lp = like(pred.reshape(y_eval.shape), y_eval, cfg.tau_out) \
             + prior.log_prob(q_sub)
         return lp, pred
 
+    n_chains_s = samples.shape[0]
+    n_kept = samples.shape[1] - burn
     pooled = samples[:, burn:, :].reshape(-1, spec.subspace_dim)
+    # chain id of each pooled row (chain-major reshape) — scores every
+    # sample against ITS chain's frozen base when base is (C, D)
+    cids = _np.repeat(_np.arange(n_chains_s, dtype=_np.int32), n_kept)
     if pooled.shape[0] > max_metric_samples:
         # bound the metric pass (device residency + S forward evals) for
         # long runs; a uniform thinning of thousands of pooled draws leaves
         # the expected-MSE estimates' MC error negligible
         stride = -(-pooled.shape[0] // max_metric_samples)
         pooled = pooled[::stride]
+        cids = cids[::stride]
+    scan_in = (jnp.asarray(pooled), jnp.asarray(cids))
     metrics = jax.jit(
-        lambda s: streaming_predictive_metrics(lp_and_pred, s, y_eval)
-    )(jnp.asarray(pooled))
+        lambda s: streaming_predictive_metrics(
+            lambda qc: lp_and_pred(*qc), s, y_eval)
+    )(scan_in)
     mean_prediction = metrics.pop("mean_prediction")
 
     preds = None
     if keep_predictions:
         stride = max(1, pooled.shape[0] // keep_predictions)
         thinned = jnp.asarray(pooled[::stride][:keep_predictions])
-        _, preds = posterior_predictive(jax.jit(lp_and_pred), thinned,
-                                        chunk_size=32)
+        cid_thin = jnp.asarray(cids[::stride][:keep_predictions])
+        _, preds = posterior_predictive(
+            jax.jit(lambda qc: lp_and_pred(*qc)), (thinned, cid_thin),
+            chunk_size=32)
     diag = summarize_np(samples[:, burn:, :])
     return {
         "metrics": metrics,
@@ -480,8 +495,10 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
             if isinstance(final_aux, dict):  # subsampled variant carries
                 final_aux = final_aux.get("frozen")  # {'frozen','tidx'}
             if final_aux is not None:
-                a = jnp.asarray(final_aux)
-                frozen_base = a[0] if a.ndim == 2 else a
+                # (C, D) under vmap: every chain keeps ITS final frozen
+                # vector; evaluate_samples scores each chain's samples
+                # against its own base (ADVICE r3)
+                frozen_base = jnp.asarray(final_aux)
         evald = evaluate_samples(eval_cfg, spec, prior, eval_forward, y_eval,
                                  res.samples, frozen_base=frozen_base)
         evald["metrics"]["acceptance_rate"] = res.acceptance_rate
