@@ -281,6 +281,15 @@ STAGE12_ASSETS = OPERATOR_ASSETS["prod"]
 #: same contract for the secondary NN workload (scripts/run_nn_stage12.py)
 NN_STAGE12_ASSETS = os.path.join(_ASSET_DIR, "nn_stage12.npz")
 
+#: low-rank metric rank the default NN row uses. 0 = diagonal only:
+#: MEASURED NEGATIVE (2026-08-21, CPU 64-chain A/B at the coupled-DA
+#: recipe): rank-48 Lanczos finds real off-diagonal conditional stiffness
+#: (preconditioned eig up to 1.15e4) but pooled ESS drops 90 -> 66 median —
+#: the NN conditional is non-Gaussian enough away from the probe point that
+#: the mode-local metric mis-preconditions the typical set. Kept as a flag
+#: (--lowrank-mass with --workload nn) for future posteriors.
+NN_LOWRANK_RANK = 0
+
 #: provenance of the posterior built by the most recent build_problem call
 #: (kept out of the return tuple for script compatibility)
 LAST_PROBLEM_PROVENANCE = {}
@@ -391,7 +400,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               windowed_mass: bool = False, thin: int = 1, num_leapfrog=None,
               frozen_policy: str = "draw", laplace_mass: bool = False,
               asset: str = "prod", lowrank_rank: int = 0,
-              lowrank_iters=None):
+              lowrank_iters=None, init_opt: int = 0):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -460,25 +469,6 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     def log_prob(q, aux):
         return lp_like(q, aux) + prior.log_prob(q)
 
-    # kinetic metric actually handed to the sampler. Diagonal by default;
-    # with lowrank_rank > 0 the Lanczos-estimated low-rank+diagonal mass
-    # M = D + UU^T (hmc/metric.py) corrects the `rank` stiffest conditional
-    # curvature directions the diagonal misses (the round-3 finding: the
-    # 90%-subspace conditional is off-diagonally stiff ~1e4x the diagonal
-    # Fisher — no diagonal metric samples it). Eigenpairs are cached under
-    # runs/lanczos_cache keyed by (asset, subspace, diag kind, rank, iters)
-    # so the expensive HVP Lanczos pass runs once per configuration — and
-    # can be precomputed in its OWN process (scripts/tpu_lanczos_metric.py)
-    # to keep one large jit graph per TPU process (CLAUDE.md).
-    kinetic_metric = inv_mass_vec
-    lowrank_extras = None
-    if lowrank_rank and compute_dtype is None:
-        kinetic_metric, lowrank_extras = _lowrank_metric_cached(
-            log_prob, spec, aux0, inv_mass_vec, lowrank_rank, lowrank_iters,
-            tag=(f"{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
-                 f"_d{len(idx)}_{'lap' if laplace_mass else 'vi'}"
-                 f"_{frozen_policy}"))
-
     grad_fn = None
     if gauss_alpha is not None and compute_dtype is None:
         # VI-Gaussian trajectory field (variant G in
@@ -528,6 +518,38 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=inv_mass_vec)
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    warm_s = 0.0
+    q_center = spec.sub_mu()
+    if init_opt:
+        inits, warm_s = _conditional_warm_start(
+            log_prob, aux0, spec.sub_mu(), inv_mass_vec, grad_fn, init_opt,
+            n_chains, jax.random.key(0xA11))
+        q_center = inits.mean(axis=0)
+        print(f"# warm start: {init_opt} preconditioned Adam steps in "
+              f"{warm_s:.1f}s", file=sys.stderr)
+
+    # kinetic metric actually handed to the sampler. Diagonal by default;
+    # with lowrank_rank > 0 the Lanczos-estimated low-rank+diagonal mass
+    # M = D + UU^T (hmc/metric.py) corrects the `rank` stiffest conditional
+    # curvature directions the diagonal misses (the round-3 finding: the
+    # 90%-subspace conditional is off-diagonally stiff ~1e4x the diagonal
+    # Fisher — no diagonal metric samples it). Curvature is probed at the
+    # warm-started conditional mode when init_opt is set (the Hessian at
+    # the VI mean describes the wrong neighborhood under the draw policy).
+    # Eigenpairs are cached under runs/lanczos_cache keyed by
+    # (asset, subspace, diag kind, policy, init_opt, rank, iters); the
+    # Lanczos pass can be precomputed in its OWN process to keep one large
+    # jit graph per TPU process (CLAUDE.md).
+    kinetic_metric = inv_mass_vec
+    lowrank_extras = None
+    if lowrank_rank and compute_dtype is None:
+        kinetic_metric, lowrank_extras = _lowrank_metric_cached(
+            log_prob, spec, aux0, inv_mass_vec, lowrank_rank, lowrank_iters,
+            tag=(f"{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
+                 f"_d{len(idx)}_{'lap' if laplace_mass else 'vi'}"
+                 f"_{frozen_policy}_w{init_opt}"),
+            q0=q_center)
+
     if coupled:
         # the production recipe that converged the flagship demo (round 2,
         # scripts/run_operator_stage3.py): chain-coupled dual averaging
@@ -631,7 +653,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         t0 = time.perf_counter()
         res = run(jax.random.key(k))
         samples = np.asarray(res.samples)
-        elapsed = time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0 + warm_s
         # with thin > 1 the kept draws are every thin-th state; tau shrinks
         # by the same factor the sample count does, so pooled ESS is an
         # unchanged estimate as long as thin << tau (resume.py docstring)
@@ -699,6 +721,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "burn": n_burn,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "frozen_policy": frozen_policy,
+        "init_opt": init_opt,
+        "warm_start_s": round(warm_s, 2),
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
     if lowrank_extras is not None:
@@ -714,8 +738,50 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     return stats, (cfg, mu, sigma, idx)
 
 
+def _conditional_warm_start(log_prob, aux0, q0, inv_mass_diag, grad_fn,
+                            n_steps, n_chains, key, spread=0.5):
+    """Warm-start chain inits at the conditional's approximate mode.
+
+    Under a FIXED frozen vector (the 'draw' policy — the reference's
+    effective semantics) the VI mean sits far below the conditional typical
+    set: the frozen draw's likelihood damage must be compensated by the
+    sensitive coordinates, so chains started at the VI mean spend the whole
+    run on a monotone climb (measured round 4: pooled ESS pinned at the
+    C/2 floor on every key). A few hundred Adam steps in the PRECONDITIONED
+    space (mirroring pipelines/vi_hmc.py init_optimize) move the inits to
+    the mode; MCMC correctness is unaffected by where chains start. Returns
+    (inits, warm_wall_s) — the one-time wall is added to every key's
+    elapsed (each key is one production run's accounting).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    oracle = grad_fn
+    if oracle is None:
+        oracle = jax.grad(lambda q, a: log_prob(q, a))
+    scale = jnp.sqrt(inv_mass_diag * jnp.ones_like(q0))
+    opt = optax.adam(0.1)
+
+    def opt_step(carry, _):
+        z, opt_state = carry
+        g_z = scale * oracle(q0 + scale * z, aux0)
+        updates, opt_state = opt.update(
+            jax.tree_util.tree_map(lambda x: -x, g_z), opt_state, z)
+        return (optax.apply_updates(z, updates), opt_state), None
+
+    t0 = time.perf_counter()
+    (z_star, _), _ = jax.jit(lambda z: jax.lax.scan(
+        opt_step, (z, opt.init(z)), None, length=n_steps))(jnp.zeros_like(q0))
+    q_star = q0 + scale * z_star
+    np.asarray(q_star)  # block
+    warm_s = time.perf_counter() - t0
+    jitter = spread * scale * jax.random.normal(key, (n_chains, q0.shape[0]))
+    return q_star[None, :] + jitter, warm_s
+
+
 def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
-                           tag):
+                           tag, q0=None):
     """Build (or load from runs/lanczos_cache) the low-rank+diagonal kinetic
     metric for the bench posterior: Lanczos on preconditioned conditional
     Hessian-vector products at the VI mean (hmc/metric.py). Returns
@@ -748,7 +814,7 @@ def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
             return lanczos_eigs(mv, q0.shape[0], rank, num_iters=iters_eff,
                                 key=jax.random.key(0x10E))
 
-        eigvals, eigvecs = eigs(spec.sub_mu(), diag)
+        eigvals, eigvecs = eigs(spec.sub_mu() if q0 is None else q0, diag)
         eigvals = jnp.asarray(np.asarray(eigvals))  # block + host copy
         lanczos_s = time.perf_counter() - t0
         os.makedirs(cache_dir, exist_ok=True)
@@ -851,7 +917,8 @@ def build_nn_problem(quick: bool = False):
 
 
 def bench_nn(quick: bool, skip_baseline: bool = False,
-             frozen_policy: str = "draw", step=None, L=None, chains=None):
+             frozen_policy: str = "draw", step=None, L=None, chains=None,
+             lowrank_rank: int = 0):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
     subspace VI-HMC on the 141-param regression MLP (asset-defined subspace
     at the 90% captured-variance threshold, NLL tau_out=5e-2^2, refresh
@@ -902,30 +969,63 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     if chains is not None:
         n_chains = chains
     L = l_eff if L is None else L
+    fixed_step = step is not None
     step = step_eff if step is None else step
-    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
-    cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
-                    burn=n_samples // 5, sampler="hmc",
-                    jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
     from vihmc_tpu.hmc import clipped_grad_fn
 
     grad_fn = clipped_grad_fn(log_prob, 13.0 * len(idx) ** 0.5,
                               inv_mass=spec.sub_sigma() ** 2, is_grad=False)
+    # warm-start inits at the conditional mode (see _conditional_warm_start:
+    # under the 'draw' policy the VI mean is far below the conditional
+    # typical set; round-4 measured the un-warmed NN chain at acceptance
+    # 4e-4 — the conditional is much sharper than the VI sigmas suggest)
+    inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
+    warm_s = 0.0
+    if not quick:
+        inits, warm_s = _conditional_warm_start(
+            log_prob, aux0, spec.sub_mu(), spec.sub_sigma() ** 2, grad_fn,
+            400, n_chains, jax.random.key(0xA12))
+    nn_metric = spec.sub_sigma() ** 2
+    lowrank_extras_nn = None
+    if lowrank_rank:
+        nn_metric, lowrank_extras_nn = _lowrank_metric_cached(
+            log_prob, spec, aux0, spec.sub_sigma() ** 2, lowrank_rank, None,
+            tag=(f"nn_{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
+                 f"_d{len(idx)}_{frozen_policy}"),
+            q0=jnp.asarray(inits.mean(axis=0)))
+    if fixed_step:
+        # tuning mode (--nn-step): the round-1..3 fixed-step jittered config
+        cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
+                        burn=n_samples // 5, sampler="hmc",
+                        jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
+    else:
+        # the coupled-DA production recipe (same as the operator headline):
+        # chain-coupled dual averaging with diminishing adaptation + step
+        # jitter — no hand-tuned step, robust across assets and frozen
+        # policies (a fixed step tuned on one VI fit measured acceptance
+        # 4e-4 on another)
+        cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
+                        burn=n_samples // 5, sampler="hmc_nuts",
+                        target_accept=0.65, da_axis="chains",
+                        adapt_forever=True, jitter_eps=True,
+                        jitter_low_frac=0.5)
 
     def run(key):
         return sample_chains(log_prob, inits, key, cfg,
-                             inv_mass=spec.sub_sigma() ** 2,
+                             inv_mass=nn_metric,
                              aux=aux0, aux_refresh=refresh, grad_fn=grad_fn)
 
     res = run(jax.random.key(1))
     np.asarray(res.samples)
     warm_state = res.final_state
+    adapted_step = float(np.exp(np.median(
+        np.asarray(warm_state.da.log_step))))
     per_key = []
     for k in ((2,) if quick else BENCH_KEYS):
         t0 = time.perf_counter()
         res = run(jax.random.key(k))
         samples = np.asarray(res.samples)
-        elapsed = time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0 + warm_s
         ess = effective_sample_size_np(samples[:, n_samples // 5:, :])
         per_key.append({
             "key": k,
@@ -952,15 +1052,19 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
-        "L": L, "step": step,
+        "L": L, "step": step if fixed_step else "coupled-da",
+        "adapted_step": round(adapted_step, 6),
+        "warm_start_s": round(warm_s, 2),
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "frozen_policy": frozen_policy,
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
     })
+    if lowrank_extras_nn is not None:
+        stats["lowrank_metric"] = lowrank_extras_nn
     try:
         total_flops = _sampling_flops(log_prob, cfg, n_samples, refresh,
                                       grad_fn, warm_state, inits, aux0,
-                                      spec.sub_sigma() ** 2, n_samples)
+                                      nn_metric, n_samples)
         stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
     except Exception as e:
         print(f"# mfu measurement failed: {type(e).__name__}: {e}",
@@ -972,10 +1076,11 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
             # like-for-like ratio in the NORTH-STAR metric (ESS/s, not
             # draws/s) is directly measurable here (VERDICT r2 item 5)
             tb = bench_torch_baseline_nn(
-                x, y, mu, sigma, idx, L, float(cfg.step_size), n_samples,
+                x, y, mu, sigma, idx, L, adapted_step, n_samples,
                 ref_forward=lambda f: apply_flat(f, x), collect=True,
                 jitter_low_frac=BENCH_JITTER_LOW,
-                frozen_policy=frozen_policy)
+                frozen_policy=frozen_policy,
+                init=np.asarray(inits[0]), frozen_vec=np.asarray(aux0))
             if tb is not None:
                 stats["torch_cpu_samples_per_s"] = tb["samples_per_s"]
                 stats["vs_baseline"] = stats["samples_per_s"] / tb["samples_per_s"]
@@ -1067,7 +1172,8 @@ def _torch_hmc_timing(log_prob, draw_frozen, q0, inv_mass, step, L,
 def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
                             ref_forward=None, max_seconds: float = 120.0,
                             collect: bool = False, jitter_low_frac=None,
-                            frozen_policy: str = "refresh"):
+                            frozen_policy: str = "refresh", init=None,
+                            frozen_vec=None):
     """Identical NN posterior + kernel in torch on CPU (reference substrate).
 
     Mirrors ``bench_nn``'s posterior: 141-param tanh MLP (NLL likelihood,
@@ -1138,13 +1244,19 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
     if frozen_policy == "refresh":
         draw_frozen = lambda: mu_t + sigma_t * torch.randn_like(mu_t)
     elif frozen_policy == "draw":
-        frozen0 = mu_t + sigma_t * torch.randn_like(mu_t)
+        # the SAME fixed conditional the jax sampler runs (its aux0), not an
+        # independent draw — both sides must target one posterior
+        frozen0 = (torch.tensor(np.asarray(frozen_vec, np.float32))
+                   if frozen_vec is not None
+                   else mu_t + sigma_t * torch.randn_like(mu_t))
         draw_frozen = lambda: frozen0
     else:
         draw_frozen = lambda: mu_t
+    q0_t = (mu_t[idx_t] if init is None
+            else torch.tensor(np.asarray(init, np.float32)))
     return _torch_hmc_timing(
         log_prob, draw_frozen,
-        mu_t[idx_t], sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds,
+        q0_t, sigma_t[idx_t] ** 2, step, L, n_samples, max_seconds,
         collect=collect, jitter_low_frac=jitter_low_frac, clip_norm=clip)
 
 
@@ -1295,6 +1407,15 @@ def main():
                          "Eigenpairs cache under runs/lanczos_cache")
     ap.add_argument("--lowrank-iters", type=int, default=None,
                     help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--init-opt", type=int, default=None, metavar="N",
+                    help="warm-start chain inits with N preconditioned Adam "
+                         "steps on the conditional -log p(q|frozen) before "
+                         "sampling (default: 800 under the 'draw' policy, "
+                         "0 otherwise — under a fixed frozen draw the VI "
+                         "mean sits far below the conditional typical set "
+                         "and un-warmed chains measure ESS at the C/2 "
+                         "floor). The one-time wall is charged to every "
+                         "key's elapsed")
     ap.add_argument("--no-nn-row", action="store_true",
                     help="skip the NN-workload row the default invocation "
                          "appends to the operator JSON")
@@ -1390,7 +1511,8 @@ def main():
     if args.workload == "nn":
         nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline,
                             frozen_policy=args.frozen_policy,
-                            step=args.nn_step, L=args.L, chains=args.chains)
+                            step=args.nn_step, L=args.L, chains=args.chains,
+                            lowrank_rank=args.lowrank_mass)
         vsb = nn_stats.pop("vs_baseline", None)
         print(json.dumps({
             "metric": "ess_per_sec_vihmc_nn",
@@ -1416,7 +1538,11 @@ def main():
                              laplace_mass=args.laplace_mass,
                              asset=args.asset,
                              lowrank_rank=args.lowrank_mass,
-                             lowrank_iters=args.lowrank_iters)
+                             lowrank_iters=args.lowrank_iters,
+                             init_opt=(args.init_opt if args.init_opt
+                                       is not None else
+                                       (800 if args.frozen_policy == "draw"
+                                        and not args.quick else 0)))
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
@@ -1486,7 +1612,7 @@ def main():
         try:
             nn_row = bench_nn(args.quick, skip_baseline=args.skip_baseline,
                               frozen_policy=args.frozen_policy,
-                              step=args.nn_step)
+                              step=args.nn_step, lowrank_rank=NN_LOWRANK_RANK)
             vsb_nn = nn_row.pop("vs_baseline", None)
             jax_stats["nn"] = {
                 "metric": "ess_per_sec_vihmc_nn",

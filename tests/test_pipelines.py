@@ -137,6 +137,38 @@ def test_vihmc_lowrank_metric():
         vi_hmc.run_nn(bad, TINY_MLP, artifacts, key=jax.random.key(7))
 
 
+def test_vihmc_auto_algorithm_probe():
+    """algorithm='auto' probes the preconditioned conditional curvature and
+    picks the regime's measured-best sampler (VERDICT r3 item 9): soft or
+    metric-corrected -> fixed-L 'hmc'; residual stiffness -> 'nuts'."""
+    d = TINY_MLP.num_params
+    rng = np.random.default_rng(9)
+    artifacts = {"mu": rng.normal(size=d).astype(np.float32) * 0.1,
+                 "sigma": (0.05 + 0.1 * rng.random(d)).astype(np.float32),
+                 "indices": np.sort(rng.choice(d, size=10, replace=False))}
+    # tau_out tiny -> likelihood curvature enormous relative to the
+    # VI-sigma preconditioner -> stiff -> NUTS
+    stiff = C.VIHMCRunConfig(num_samples=8, num_chains=1, algorithm="auto",
+                             vi_mass=True, tau_out=1e-8)
+    out = vi_hmc.run_nn(stiff, TINY_MLP, artifacts, key=jax.random.key(10))
+    assert out["auto_probe"]["algorithm"] == "nuts"
+    assert out["auto_probe"]["lambda_max"] > 100.0
+    # same stiffness but a low-rank metric configured -> metric absorbs it,
+    # fixed-L hmc chosen
+    stiff_lr = C.VIHMCRunConfig(num_samples=8, num_chains=1,
+                                algorithm="auto", vi_mass=True,
+                                tau_out=1e-8, lowrank_rank=4)
+    out = vi_hmc.run_nn(stiff_lr, TINY_MLP, artifacts,
+                        key=jax.random.key(11))
+    assert out["auto_probe"]["algorithm"] == "hmc"
+    # soft conditional (huge noise variance -> prior-dominated) -> hmc
+    soft = C.VIHMCRunConfig(num_samples=8, num_chains=1, algorithm="auto",
+                            vi_mass=True, tau_out=1e4)
+    out = vi_hmc.run_nn(soft, TINY_MLP, artifacts, key=jax.random.key(12))
+    assert out["auto_probe"]["algorithm"] == "hmc"
+    assert out["auto_probe"]["lambda_max"] < 100.0
+
+
 def test_vihmc_chees_algorithm():
     """algorithm='chees' runs the coupled-chain adaptive sampler end-to-end."""
     d = TINY_MLP.num_params

@@ -5,6 +5,7 @@ from vihmc_tpu.chains.parallel import (
     sample_chains_nuts,
     make_chain_mesh,
     shard_batch,
+    shard_query,
 )
 from vihmc_tpu.chains.resume import sample_chains_resumable
 from vihmc_tpu.chains.distributed import (
@@ -32,6 +33,7 @@ __all__ = [
     "sample_chains_resumable",
     "make_chain_mesh",
     "shard_batch",
+    "shard_query",
     "potential_scale_reduction",
     "effective_sample_size",
     "effective_sample_size_np",

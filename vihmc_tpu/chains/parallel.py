@@ -48,6 +48,27 @@ def shard_batch(mesh: Mesh, tree, axis: int = 0):
     return jax.tree_util.tree_map(put, tree)
 
 
+def shard_query(mesh: Mesh, trunk_x, y):
+    """Shard the DeepONet QUERY/trunk axis over the 'data' mesh axis — the
+    domain's sequence-parallel analog (SURVEY.md section 2.5: the nearest
+    reference mechanism is stochastic trunk-point subsampling,
+    /root/reference/Operator_network/VI/utils.py:39-41; here the full
+    10201-point grid is partitioned across devices instead of subsampled).
+
+    ``trunk_x`` (P, coords) shards along axis 0; ``y`` (B, P) along axis 1
+    (the function-batch axis stays replicated — compose with
+    :func:`shard_batch` on ``branch_x`` alone for 2-D data parallelism over
+    a ('chains', 'fns', 'query') mesh if both axes need splitting). Under
+    GSPMD the trunk MLP stack then computes P/N rows per device, the
+    branch@trunk^T merge is sharded on its query axis, and the NLL
+    reduction + its gradient lower to psum collectives over 'data'.
+    """
+    tx = jax.device_put(
+        trunk_x, NamedSharding(mesh, P(*(["data"] + [None] * (np.ndim(trunk_x) - 1)))))
+    yy = jax.device_put(y, NamedSharding(mesh, P(None, "data")))
+    return tx, yy
+
+
 
 @functools.lru_cache(maxsize=64)
 def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,

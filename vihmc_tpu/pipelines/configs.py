@@ -147,6 +147,21 @@ class VIHMCRunConfig:
     algorithm: str = "hmc"           # 'hmc' (reference) | 'nuts' | 'chees'
                                      # (extensions: adaptive trajectory
                                      # lengths replace the analytic L rule)
+                                     # | 'auto': probe the conditional's
+                                     # preconditioned curvature (tiny
+                                     # Lanczos on HVPs) and pick the
+                                     # measured-best sampler for the regime:
+                                     # lambda_max <= auto_stiffness_threshold
+                                     # or a low-rank metric configured ->
+                                     # fixed-L 'hmc' (wins on soft/corrected
+                                     # posteriors: 19.3 vs 3.9 ESS/s, r2);
+                                     # residual stiffness beyond the metric
+                                     # -> 'nuts' (wins there: 3.2 vs 2.29,
+                                     # r3). docs/performance.md round 4.
+    auto_stiffness_threshold: float = 100.0  # lambda_max above which the
+                                     # diagonal metric is declared
+                                     # insufficient (r3 stiff fit measured
+                                     # ~1e4; healthy fits ~1)
     nuts_max_depth: int = 6
     chees_max_steps: int = 256       # leapfrog cap per draw for 'chees'
     num_leapfrog: Optional[int] = None  # explicit L (default: analytic rule)

@@ -233,6 +233,37 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
     log_prob, aux0, refresh, spec, prior, inv_mass = build_subspace_posterior(
         cfg, full_forward, y_train, artifacts, k_frozen, full_ll=full_ll)
 
+    auto_probe = None
+    if cfg.algorithm == "auto":
+        # burn-phase stiffness probe (VERDICT r3 item 9): the largest
+        # eigenvalue of the PRECONDITIONED conditional curvature at the VI
+        # mean decides the sampler. lambda ~ 1: the diagonal metric already
+        # matches the conditional — the fixed-L jittered recipe wins (r2:
+        # 19.3 vs NUTS 3.9 ESS/s). lambda >> threshold without a low-rank
+        # metric: trajectories are stability-limited far below the soft
+        # scales — adaptive-depth NUTS wins (r3 stiff fit: 3.2 vs 2.29).
+        # With lowrank_rank configured the metric absorbs the stiffness and
+        # fixed-L stays optimal. Cost: one tiny Lanczos (8 HVPs).
+        import dataclasses as _dc
+
+        from vihmc_tpu.hmc.metric import lanczos_eigs, preconditioned_hvp
+
+        diag_p = inv_mass * jnp.ones((spec.subspace_dim,), jnp.float32)
+
+        @jax.jit
+        def _lam_max(q0, diag):
+            mv = preconditioned_hvp(log_prob, q0, diag, aux=aux0)
+            vals, _ = lanczos_eigs(mv, spec.subspace_dim, rank=1,
+                                   num_iters=min(8, spec.subspace_dim),
+                                   key=jax.random.fold_in(k_frozen, 0xA0))
+            return vals[0]
+
+        lam_max = float(_lam_max(spec.sub_mu(), diag_p))
+        stiff = lam_max > cfg.auto_stiffness_threshold
+        choice = "nuts" if (stiff and not cfg.lowrank_rank) else "hmc"
+        auto_probe = {"lambda_max": lam_max, "algorithm": choice}
+        cfg = _dc.replace(cfg, algorithm=choice)
+
     # the (D,) diagonal metric view: preconditioned-norm clipping and the
     # init-optimizer's step scaling stay diagonal even when the kinetic
     # metric itself is low-rank+diagonal
@@ -473,6 +504,8 @@ def run_subspace_hmc(cfg: VIHMCRunConfig, full_forward, y_train, artifacts, key,
                                 grad_fn=grad_fn)
 
     out = {"result": res, "spec": spec, "prior": prior}
+    if auto_probe is not None:
+        out["auto_probe"] = auto_probe
     if gauss_field_used is not None:
         out["gauss_field_used"] = gauss_field_used
         out["gauss_field_probe_acceptance"] = probe_acceptance
