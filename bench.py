@@ -400,7 +400,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               windowed_mass: bool = False, thin: int = 1, num_leapfrog=None,
               frozen_policy: str = "draw", laplace_mass: bool = False,
               asset: str = "prod", lowrank_rank: int = 0,
-              lowrank_iters=None, init_opt: int = 0):
+              lowrank_iters=None, init_opt: int = 0,
+              density_precision: str = "float32"):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -435,7 +436,22 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         full_ll = fused_ll
     else:
         def full_ll(flat):
-            return like(apply_flat(flat, branch_x, trunk_x), y, 1.0)
+            # MH DENSITY evaluations run the forward's matmuls at f32
+            # precision (3-pass bf16). Measured (scripts/tpu_noise_probe.py,
+            # logs/noise_probe.log): at default precision the bf16-datapath
+            # forward makes the 10M-term NLL a chaotic function of q at the
+            # O(0.3+ nat) scale over trajectory-sized displacements — an
+            # acceptance CEILING ~0.6 that sits below the 0.65 DA target,
+            # so dual averaging shrinks the step without bound chasing an
+            # unreachable target (measured: eps driven to 1.9e-6, pooled
+            # ESS pinned at the C/2 floor). f32 evaluation cuts the
+            # roughness ~50x; the ~3x matmul cost applies to the 2
+            # density evals per draw only — trajectory gradients keep the
+            # fast default path (any deterministic field is a valid
+            # proposal field).
+            with jax.default_matmul_precision(density_precision):
+                pred = apply_flat(flat, branch_x, trunk_x)
+            return like(pred, y, 1.0)
 
     policy = {"refresh": FrozenPolicy.REFRESH, "mean": FrozenPolicy.MEAN,
               "draw": FrozenPolicy.DRAW}[frozen_policy]
@@ -721,6 +737,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "burn": n_burn,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "frozen_policy": frozen_policy,
+        "density_precision": density_precision,
         "init_opt": init_opt,
         "warm_start_s": round(warm_s, 2),
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
@@ -1407,6 +1424,13 @@ def main():
                          "Eigenpairs cache under runs/lanczos_cache")
     ap.add_argument("--lowrank-iters", type=int, default=None,
                     help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--density-precision", default="float32",
+                    choices=["default", "float32", "highest"],
+                    help="matmul precision of the MH density evaluations "
+                         "(trajectory gradients keep the fast default). "
+                         "'default' = bf16 datapath, whose measured O(1)-nat "
+                         "evaluation roughness caps acceptance below the DA "
+                         "target — see scripts/tpu_noise_probe.py")
     ap.add_argument("--init-opt", type=int, default=None, metavar="N",
                     help="warm-start chain inits with N preconditioned Adam "
                          "steps on the conditional -log p(q|frozen) before "
@@ -1542,7 +1566,8 @@ def main():
                              init_opt=(args.init_opt if args.init_opt
                                        is not None else
                                        (800 if args.frozen_policy == "draw"
-                                        and not args.quick else 0)))
+                                        and not args.quick else 0)),
+                             density_precision=args.density_precision)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
