@@ -401,7 +401,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               frozen_policy: str = "draw", laplace_mass: bool = False,
               asset: str = "prod", lowrank_rank: int = 0,
               lowrank_iters=None, init_opt: int = 0,
-              density_precision: str = "float32"):
+              density_precision: str = "float32", target_accept=None,
+              hutch_diag: int = 0):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -544,6 +545,42 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         print(f"# warm start: {init_opt} preconditioned Adam steps in "
               f"{warm_s:.1f}s", file=sys.stderr)
 
+    # measured conditional diagonal (round 4): Hutchinson HVP probes at the
+    # warm-started center replace the surrogate diagonal — the Laplace
+    # diagonal OVERESTIMATES curvature for the soft bulk (its preconditioned
+    # spectrum dips to 0.16 by rank 256), leaving wide dimensions
+    # under-stepped; the measured diagonal anchors both tails, floored at a
+    # quarter of the prior precision against probe noise/negative curvature.
+    hutch_extras = None
+    if hutch_diag and compute_dtype is None:
+        from vihmc_tpu.hmc.metric import hutchinson_diag, hvp_fn
+
+        t0h = time.perf_counter()
+
+        @jax.jit
+        def _hd(q0):
+            hvp = hvp_fn(log_prob, q0, aux=aux0)
+            return hutchinson_diag(hvp, q0.shape[0], hutch_diag,
+                                   jax.random.key(0x42D))
+
+        est = np.asarray(_hd(jnp.asarray(q_center)))
+        prior_prec = 1.0 / np.maximum(np.asarray(spec.sub_sigma()) ** 2,
+                                      1e-30)
+        prec = np.maximum(est, 0.25 * prior_prec)
+        ratio = np.asarray(inv_mass_vec) * prec  # old diag curvature ratio
+        hutch_extras = {
+            "probes": hutch_diag, "wall_s": round(time.perf_counter() - t0h, 1),
+            "floored_frac": float(np.mean(est < 0.25 * prior_prec)),
+            "vs_prev_diag_ratio_quantiles": [
+                float(f"{np.quantile(ratio, q):.3g}")
+                for q in (0.05, 0.5, 0.95)],
+        }
+        inv_mass_vec = jnp.asarray(1.0 / prec, jnp.float32)
+        print(f"# hutch diag: {hutch_diag} probes in "
+              f"{hutch_extras['wall_s']}s; prev-diag ratio q05/50/95 "
+              f"{hutch_extras['vs_prev_diag_ratio_quantiles']}",
+              file=sys.stderr)
+
     # kinetic metric actually handed to the sampler. Diagonal by default;
     # with lowrank_rank > 0 the Lanczos-estimated low-rank+diagonal mass
     # M = D + UU^T (hmc/metric.py) corrects the `rank` stiffest conditional
@@ -563,6 +600,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             log_prob, spec, aux0, inv_mass_vec, lowrank_rank, lowrank_iters,
             tag=(f"{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
                  f"_d{len(idx)}_{'lap' if laplace_mass else 'vi'}"
+                 f"{f'_h{hutch_diag}' if hutch_diag else ''}"
                  f"_{frozen_policy}_w{init_opt}"),
             q0=q_center)
 
@@ -574,7 +612,9 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         # continuous step jitter over [0.5, 1] — no hand-tuned step at all
         hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
                             step_size=0.1, burn=n_burn, sampler="hmc_nuts",
-                            target_accept=0.65, da_axis="chains",
+                            target_accept=(0.65 if target_accept is None
+                                           else target_accept),
+                            da_axis="chains",
                             adapt_forever=True, jitter_eps=True,
                             jitter_low_frac=0.5,
                             # --windowed-mass: Stan-style doubling windows
@@ -684,9 +724,19 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         half = post.shape[1] // 2
         ess_h1 = effective_sample_size_np(post[:, :half])
         ess_h2 = effective_sample_size_np(post[:, half:])
+        step_tr = np.asarray(res.step_sizes)
+        if step_tr.ndim == 2:
+            step_tr = np.median(step_tr, axis=0)  # median over chains
+        qs = [float(np.median(step_tr[i * len(step_tr) // 4:
+                                      (i + 1) * len(step_tr) // 4]))
+              for i in range(4)] if len(step_tr) >= 4 else []
         stats_k = {
             "key": k,
             "elapsed_s": elapsed,
+            # adapted-step visibility (round 4): the draw-policy forensics
+            # hinged on WHERE dual averaging equilibrates; quartile medians
+            # of the per-draw step expose collapse vs healthy adaptation
+            "step_quartiles": [float(f"{q:.3g}") for q in qs],
             "samples_per_s": n_chains * n_samples / elapsed,
             "ess_median": float(np.median(ess)),
             "ess_bulk_median": float(np.median(bulk)),
@@ -744,6 +794,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     })
     if lowrank_extras is not None:
         stats["lowrank_metric"] = lowrank_extras
+    if hutch_extras is not None:
+        stats["hutch_diag"] = hutch_extras
     try:
         total_flops = _sampling_flops(
             log_prob, hmc_cfg, seg, refresh, grad_fn, warm_state, inits,
@@ -1424,6 +1476,18 @@ def main():
                          "Eigenpairs cache under runs/lanczos_cache")
     ap.add_argument("--lowrank-iters", type=int, default=None,
                     help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--hutch-diag", type=int, default=0, metavar="N",
+                    help="replace the surrogate kinetic diagonal with a "
+                         "measured conditional Hessian diagonal from N "
+                         "Hutchinson HVP probes at the warm-started center "
+                         "(floored at prior precision/4). Fixes surrogate "
+                         "diagonals that over/under-state conditional "
+                         "scales; composes with --lowrank-mass")
+    ap.add_argument("--target-accept", type=float, default=None,
+                    help="coupled-DA acceptance target override (default "
+                         "0.65; must sit BELOW the configuration's "
+                         "acceptance ceiling or adaptation diverges "
+                         "downward — docs/performance.md round 4)")
     ap.add_argument("--density-precision", default="float32",
                     choices=["default", "float32", "highest"],
                     help="matmul precision of the MH density evaluations "
@@ -1567,7 +1631,9 @@ def main():
                                        is not None else
                                        (800 if args.frozen_policy == "draw"
                                         and not args.quick else 0)),
-                             density_precision=args.density_precision)
+                             density_precision=args.density_precision,
+                             target_accept=args.target_accept,
+                             hutch_diag=args.hutch_diag)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

@@ -131,3 +131,28 @@ def test_adapt_mass_state_is_carried():
     w = res.final_state.welford
     assert float(w.count) == 10.0  # first half of burn only
     assert np.isfinite(np.asarray(w.variance)).all()
+
+
+def test_min_step_clamps_da_collapse():
+    """min_step bounds dual-averaging collapse when the acceptance target
+    sits above the configuration's ceiling (round-4 forensics: an O(1)-nat
+    Delta-H floor makes DA shrink the step without bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vihmc_tpu.hmc import HMCConfig, sample
+
+    # a "noisy-ceiling" target: smooth Gaussian plus a deterministic
+    # high-frequency ripple that puts an O(1) floor under Delta H at any
+    # step — acceptance can never reach the 0.9 target
+    def lp(q):
+        return -0.5 * jnp.sum(q * q) + 1.5 * jnp.sum(jnp.cos(q * 1e5))
+
+    cfg = HMCConfig(num_samples=200, num_leapfrog=4, step_size=0.1,
+                    burn=200, sampler="hmc_nuts", target_accept=0.9,
+                    adapt_forever=True, min_step=1e-3)
+    res = sample(lp, jnp.zeros(8), jax.random.key(0), cfg)
+    import numpy as np
+
+    steps = np.asarray(res.step_sizes)
+    assert steps.min() >= 1e-3 - 1e-9

@@ -157,6 +157,20 @@ def _stiff_gaussian(d=48, k_stiff=3, lam=2000.0, seed=0):
     return lp, prec, cov, jnp.asarray(v, jnp.float32)
 
 
+class TestHutchinson:
+    def test_diag_estimate_converges(self):
+        from vihmc_tpu.hmc.metric import hutchinson_diag
+
+        d = 30
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(d, d))
+        a = a @ a.T + np.diag(rng.uniform(5, 10, d))
+        a_j = jnp.asarray(a, jnp.float32)
+        est = np.asarray(hutchinson_diag(lambda v: a_j @ v, d, 4000,
+                                         jax.random.key(1)))
+        np.testing.assert_allclose(est, np.diag(a), rtol=0.15)
+
+
 class TestStiffGaussianSampling:
     def test_lowrank_metric_samples_what_diagonal_cannot(self):
         d = 48

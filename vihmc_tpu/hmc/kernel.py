@@ -101,6 +101,20 @@ class HMCConfig:
                                         # flinging chains into far tails they
                                         # never recover from under the
                                         # refresh policy.
+    min_step: Optional[float] = None    # clamp from BELOW: when the DA
+                                        # target sits above the
+                                        # configuration's acceptance CEILING
+                                        # (surrogate-field bias or reduced-
+                                        # precision density noise put an
+                                        # O(1)-nat floor under |Delta H|),
+                                        # dual averaging shrinks the step
+                                        # without bound — measured 5 orders
+                                        # in ~100 draws, ending below f32
+                                        # position resolution
+                                        # (docs/performance.md round 4).
+                                        # The clamp bounds the damage; fix
+                                        # the ceiling or lower the target
+                                        # for a real equilibrium.
     refresh_during_burn: bool = True    # False: hold the frozen aux fixed
                                         # until burn ends (chains equilibrate
                                         # against one conditional, then the
@@ -473,6 +487,8 @@ def make_kernel(
                                 jnp.exp(state.da.log_step_avg))
             if config.max_step is not None:
                 eps = jnp.minimum(eps, config.max_step)
+            if config.min_step is not None:
+                eps = jnp.maximum(eps, config.min_step)
         else:
             eps = jnp.asarray(config.step_size, jnp.float32)
         if config.jitter_eps:

@@ -217,6 +217,33 @@ def preconditioned_hvp(log_prob, q0, diag_inv_mass, aux=None):
     return hvp
 
 
+def hutchinson_diag(matvec, dim, n_probes, key, dtype=jnp.float32):
+    """Hutchinson estimate of ``diag(A)`` from matrix-vector products.
+
+    ``E[v * (A v)] = diag(A)`` for Rademacher ``v``. With ``n_probes``
+    samples the per-entry relative error is ~sqrt(sum_j A_ij^2 / A_ii^2 /
+    n) — tens of probes suffice for a kinetic-metric diagonal. One scan,
+    jit-safe.
+
+    Purpose (round 4): a surrogate diagonal (VI sigma^-2, sensitivity-
+    Laplace) can MISestimate the conditional curvature in both directions —
+    overestimates leave soft dimensions under-explored (measured: the
+    Laplace-preconditioned spectrum dips to 0.16 by rank 256 on the prod
+    asset, i.e. many conditional scales are >2.5x wider than the metric
+    assumed), underestimates cap the step. The measured Hessian diagonal,
+    floored at the prior precision, anchors the metric's diagonal; the
+    low-rank term then carries the off-diagonal stiffness.
+    """
+    keys = jax.random.split(key, n_probes)
+
+    def step(acc, k):
+        v = jax.random.rademacher(k, (dim,), dtype)
+        return acc + v * matvec(v), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros((dim,), dtype), keys)
+    return acc / n_probes
+
+
 def lanczos_tridiag(matvec, dim, num_iters, key, dtype=jnp.float32):
     """Lanczos with full reorthogonalization. Returns ``(alphas, betas, V)``.
 
