@@ -402,7 +402,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               asset: str = "prod", lowrank_rank: int = 0,
               lowrank_iters=None, init_opt: int = 0,
               density_precision: str = "float32", target_accept=None,
-              hutch_diag: int = 0):
+              hutch_diag: int = 0, eigen_two_sided: bool = False,
+              paired_delta: bool = True):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -534,6 +535,18 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=inv_mass_vec)
 
+    # paired MH delta (hmc/kernel.py delta_fn): removes the f32
+    # sum-accumulation noise that otherwise caps acceptance at trajectory
+    # scale (docs/performance.md round 4). Composed-likelihood path only.
+    delta_fn = None
+    if paired_delta and compute_dtype is None and not use_fused:
+        from vihmc_tpu.pipelines.common import make_paired_subspace_delta
+
+        delta_fn = make_paired_subspace_delta(
+            apply_flat, branch_x, trunk_x, y, 1.0, spec, prior,
+            precision=density_precision if density_precision != "default"
+            else "float32")
+
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     warm_s = 0.0
     q_center = spec.sub_mu()
@@ -602,7 +615,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                  f"_d{len(idx)}_{'lap' if laplace_mass else 'vi'}"
                  f"{f'_h{hutch_diag}' if hutch_diag else ''}"
                  f"_{frozen_policy}_w{init_opt}"),
-            q0=q_center)
+            q0=q_center, two_sided=eigen_two_sided)
 
     if coupled:
         # the production recipe that converged the flagship demo (round 2,
@@ -667,7 +680,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             return sample_chains_resumable(
                 log_prob, inits, key, cfg_n, segment_size=seg,
                 inv_mass=kinetic_metric, aux=aux0, aux_refresh=refresh,
-                grad_fn=grad_fn, thin=thin, progress=_mark)
+                grad_fn=grad_fn, thin=thin, progress=_mark,
+                delta_fn=delta_fn)
 
         def warmup(key):
             return run(key, n=seg)
@@ -680,7 +694,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             return sample_chains(log_prob, inits, key, hmc_cfg,
                                  inv_mass=kinetic_metric,
                                  aux=aux0, aux_refresh=refresh,
-                                 grad_fn=grad_fn)
+                                 grad_fn=grad_fn, delta_fn=delta_fn)
 
         warmup = run
 
@@ -788,6 +802,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "frozen_policy": frozen_policy,
         "density_precision": density_precision,
+        "paired_delta": bool(delta_fn is not None),
         "init_opt": init_opt,
         "warm_start_s": round(warm_s, 2),
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
@@ -850,7 +865,7 @@ def _conditional_warm_start(log_prob, aux0, q0, inv_mass_diag, grad_fn,
 
 
 def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
-                           tag, q0=None):
+                           tag, q0=None, two_sided=False):
     """Build (or load from runs/lanczos_cache) the low-rank+diagonal kinetic
     metric for the bench posterior: Lanczos on preconditioned conditional
     Hessian-vector products at the VI mean (hmc/metric.py). Returns
@@ -865,7 +880,9 @@ def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
     iters_eff = int(iters) if iters else max(2 * rank, rank + 10)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "runs", "lanczos_cache")
-    fname = os.path.join(cache_dir, f"{tag}_k{rank}_i{iters_eff}.npz")
+    fname = os.path.join(cache_dir,
+                         f"{tag}_k{rank}_i{iters_eff}"
+                         f"{'_2s' if two_sided else ''}.npz")
     diag = (jnp.asarray(diag_inv_mass, jnp.float32)
             * jnp.ones((spec.subspace_dim,), jnp.float32))
     cached = os.path.exists(fname)
@@ -881,7 +898,8 @@ def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
         def eigs(q0, diag):
             mv = preconditioned_hvp(log_prob, q0, diag, aux=aux0)
             return lanczos_eigs(mv, q0.shape[0], rank, num_iters=iters_eff,
-                                key=jax.random.key(0x10E))
+                                key=jax.random.key(0x10E),
+                                which="both" if two_sided else "top")
 
         eigvals, eigvecs = eigs(spec.sub_mu() if q0 is None else q0, diag)
         eigvals = jnp.asarray(np.asarray(eigvals))  # block + host copy
@@ -892,10 +910,19 @@ def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
         print(f"# lanczos: rank {rank}, {iters_eff} iters in "
               f"{lanczos_s:.1f}s -> {os.path.basename(fname)}",
               file=sys.stderr)
-    metric = lowrank_from_eigs(diag, jnp.maximum(eigvals, 1.0), eigvecs)
-    ev = np.asarray(eigvals)
+    if two_sided:
+        from vihmc_tpu.hmc.metric import eigen_metric_from_eigs
+
+        # two-sided correction: lambda>1 stiffens, lambda<1 SOFTENS (the
+        # soft tail is the mixing bottleneck when the surrogate diagonal
+        # overestimates curvature — docs/performance.md round 4)
+        metric = eigen_metric_from_eigs(diag, eigvals, eigvecs, min_eig=0.01)
+    else:
+        metric = lowrank_from_eigs(diag, jnp.maximum(eigvals, 1.0), eigvecs)
+    ev = np.sort(np.asarray(eigvals))[::-1]
     extras = {
         "rank": rank, "iters": iters_eff, "lanczos_s": round(lanczos_s, 1),
+        "two_sided": two_sided,
         "cached": cached, "cache": os.path.basename(fname),
         # preconditioned curvature spectrum: lambda ~ 1 means the diagonal
         # metric was already right; lambda >> 1 is the off-diagonal
@@ -905,6 +932,8 @@ def _lowrank_metric_cached(log_prob, spec, aux0, diag_inv_mass, rank, iters,
         "n_above_10": int((ev > 10).sum()),
         "n_above_100": int((ev > 100).sum()),
         "n_above_1000": int((ev > 1000).sum()),
+        "eig_bottom4": [float(f"{x:.3g}") for x in ev[-4:]],
+        "n_below_0.5": int((ev < 0.5).sum()),
     }
     return metric, extras
 
@@ -1476,6 +1505,16 @@ def main():
                          "Eigenpairs cache under runs/lanczos_cache")
     ap.add_argument("--lowrank-iters", type=int, default=None,
                     help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--no-paired-delta", action="store_true",
+                    help="disable the paired MH log-density difference "
+                         "(hmc delta_fn) and difference two separately "
+                         "accumulated density sums instead")
+    ap.add_argument("--eigen-two-sided", action="store_true",
+                    help="with --lowrank-mass K: two-sided EigenMetric "
+                         "(K/2 stiffest + K/2 softest preconditioned "
+                         "directions corrected to their Ritz values — the "
+                         "soft tail is the mixing bottleneck when the "
+                         "surrogate diagonal overestimates curvature)")
     ap.add_argument("--hutch-diag", type=int, default=0, metavar="N",
                     help="replace the surrogate kinetic diagonal with a "
                          "measured conditional Hessian diagonal from N "
@@ -1633,7 +1672,9 @@ def main():
                                         and not args.quick else 0)),
                              density_precision=args.density_precision,
                              target_accept=args.target_accept,
-                             hutch_diag=args.hutch_diag)
+                             hutch_diag=args.hutch_diag,
+                             eigen_two_sided=args.eigen_two_sided,
+                             paired_delta=not args.no_paired_delta)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

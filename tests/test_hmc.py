@@ -232,3 +232,52 @@ def test_subspace_hmc_recovers_conditional():
     mu_c = -float(prec[1, 0]) / float(prec[1, 1]) * 1.0
     assert abs(post.mean() - mu_c) < 0.1
     np.testing.assert_allclose(post.std(), np.sqrt(var_c), rtol=0.15)
+
+
+def test_paired_delta_matches_standard_mh():
+    """delta_fn (paired MH log-density difference — the round-4 fix for
+    f32 sum-accumulation noise at reference scale) samples the same
+    posterior as the standard lp1 - lp0 test: moment agreement within MC
+    error on a conjugate Gaussian target with a many-term likelihood."""
+    import numpy as np
+
+    from vihmc_tpu.chains import sample_chains
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2000, 2)), jnp.float32)
+    w_true = jnp.asarray([0.7, -0.4])
+    y = x @ w_true + 0.3 * jnp.asarray(rng.normal(size=2000), jnp.float32)
+    tau = 0.3 ** 2
+
+    def lp(q, aux=None):
+        e = x @ q - y
+        return -0.5 / tau * jnp.sum(e * e) - 0.5 * jnp.sum(q * q)
+
+    def delta_fn(q1, q0, aux):
+        e1 = x @ q1 - y
+        e0 = x @ q0 - y
+        dll = -0.5 / tau * jnp.sum((e1 - e0) * (e1 + e0))
+        dpr = -0.5 * (jnp.sum(q1 * q1) - jnp.sum(q0 * q0))
+        lp1 = -0.5 / tau * jnp.sum(e1 * e1) - 0.5 * jnp.sum(q1 * q1)
+        return dll + dpr, lp1
+
+    # analytic posterior: precision = X^T X / tau + I
+    prec = np.asarray(x.T @ x) / tau + np.eye(2)
+    cov = np.linalg.inv(prec)
+    mean = cov @ (np.asarray(x.T @ y) / tau)
+
+    cfg = HMCConfig(num_samples=1500, num_leapfrog=8, step_size=0.01,
+                    burn=300, sampler="hmc", jitter_l=True,
+                    jitter_low_frac=0.5)
+    inits = jnp.zeros((4, 2))
+    res_p = sample_chains(lp, inits, jax.random.key(1), cfg,
+                          delta_fn=delta_fn)
+    res_s = sample_chains(lp, inits, jax.random.key(1), cfg)
+    for res in (res_p, res_s):
+        post = np.asarray(res.samples)[:, 300:, :].reshape(-1, 2)
+        se = np.sqrt(np.diag(cov) / 200)  # generous ESS floor
+        assert np.all(np.abs(post.mean(0) - mean) < 4 * se)
+        assert np.allclose(post.var(0), np.diag(cov), rtol=0.25)
+    # both paths accept at comparable rates on this well-conditioned target
+    assert abs(float(res_p.acceptance_rate)
+               - float(res_s.acceptance_rate)) < 0.1

@@ -261,7 +261,7 @@ class TestStiffGaussianSampling:
         metric = lowrank_from_eigs(jnp.ones(d), 100.0 * jnp.ones(1), v)
         cfg = HMCConfig(num_samples=10, num_leapfrog=2, step_size=0.1,
                         burn=4, sampler="hmc_nuts", adapt_mass=True)
-        with pytest.raises(ValueError, match="LowRankMetric"):
+        with pytest.raises(ValueError, match="structured metrics"):
             sample(lp, jnp.zeros(d), jax.random.key(0), cfg, inv_mass=metric)
 
     def test_nuts_chains_reject_metric(self):
@@ -274,3 +274,87 @@ class TestStiffGaussianSampling:
         with pytest.raises(TypeError, match="diagonal"):
             sample_chains_nuts(lp, jnp.zeros((2, d)), jax.random.key(0),
                                NUTSConfig(num_samples=4), inv_mass=metric)
+
+
+class TestEigenMetric:
+    def _metric(self, d=24, k=6, seed=0):
+        from vihmc_tpu.hmc.metric import eigen_metric_from_eigs
+
+        rng = np.random.default_rng(seed)
+        diag_inv = jnp.asarray(0.3 + rng.uniform(size=d), jnp.float32)
+        v = jnp.asarray(np.linalg.qr(rng.normal(size=(d, k)))[0], jnp.float32)
+        lam = jnp.asarray([200.0, 50.0, 8.0, 0.5, 0.1, 0.02][:k], jnp.float32)
+        return eigen_metric_from_eigs(diag_inv, lam, v)
+
+    def test_velocity_matches_dense_solve(self):
+        m = self._metric()
+        p = jax.random.normal(jax.random.key(1), (24,))
+        dense = np.asarray(m.dense(), np.float64)
+        want = np.linalg.solve(dense, np.asarray(p, np.float64))
+        np.testing.assert_allclose(np.asarray(mass_velocity(m, p)), want,
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_momentum_covariance_is_mass(self):
+        m = self._metric(d=10, k=3, seed=2)
+        keys = jax.random.split(jax.random.key(3), 60000)
+        ps = jax.vmap(lambda k: mass_sample_momentum(m, k, jnp.zeros(10)))(keys)
+        emp = np.cov(np.asarray(ps).T)
+        want = np.asarray(m.dense())
+        scale = np.sqrt(np.outer(np.diag(want), np.diag(want)))
+        assert np.max(np.abs(emp - want) / scale) < 0.06
+
+    def test_kinetic_energy_matches_dense(self):
+        m = self._metric(seed=4)
+        p = jax.random.normal(jax.random.key(5), (24,))
+        dense = np.asarray(m.dense(), np.float64)
+        pn = np.asarray(p, np.float64)
+        want = 0.5 * pn @ np.linalg.solve(dense, pn)
+        assert float(mass_kinetic_energy(m, p)) == pytest.approx(want,
+                                                                 rel=2e-3)
+
+    def test_two_sided_whitening_samples_soft_and_stiff(self):
+        # Gaussian with precision S^-1(I + V(Lam-I)V^T)S^-1: both a 1000x
+        # stiff and a 100x soft direction. The two-sided metric built from
+        # the exact eigenpairs whitens it completely -> unit-scale steps
+        # accept and the fully-whitened chain mixes fast.
+        from vihmc_tpu.hmc.metric import eigen_metric_from_eigs
+
+        d = 32
+        rng = np.random.default_rng(7)
+        diag_inv = jnp.asarray(0.5 + rng.uniform(size=d), jnp.float32)
+        v = jnp.asarray(np.linalg.qr(rng.normal(size=(d, 2)))[0], jnp.float32)
+        lam = jnp.asarray([1000.0, 0.01], jnp.float32)
+        m = eigen_metric_from_eigs(diag_inv, lam, v, min_eig=1e-3)
+        prec = jnp.asarray(m.dense())
+
+        def lp(x):
+            return -0.5 * x @ (prec @ x)
+
+        cfg = HMCConfig(num_samples=500, num_leapfrog=8, step_size=0.6,
+                        burn=100, sampler="hmc", jitter_l=True,
+                        jitter_low_frac=0.5)
+        inits = 0.05 * jax.random.normal(jax.random.key(8), (4, d))
+        res = sample_chains(lp, inits, jax.random.key(9), cfg, inv_mass=m)
+        assert float(res.acceptance_rate) > 0.6
+        post = np.asarray(res.samples)[:, 100:, :]
+        ess = effective_sample_size_np(post)
+        assert float(np.median(ess)) > 400
+        # soft-direction marginal variance recovered (the direction a
+        # one-sided metric would leave 100x under-explored)
+        cov = np.linalg.inv(np.asarray(prec, np.float64))
+        soft = np.asarray(v)[:, 1]
+        var_emp = (post.reshape(-1, d) @ soft).var()
+        assert var_emp == pytest.approx(float(soft @ cov @ soft), rel=0.25)
+
+    def test_lanczos_both_ends(self):
+        d = 50
+        rng = np.random.default_rng(1)
+        q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+        evals = np.concatenate([[300.0, 90.0], rng.uniform(0.8, 1.2, d - 4),
+                                [0.05, 0.01]])
+        a = jnp.asarray((q * evals) @ q.T, jnp.float32)
+        vals, vecs = lanczos_eigs(lambda x: a @ x, d, rank=4, num_iters=40,
+                                  key=jax.random.key(2), which="both")
+        got = sorted(float(x) for x in np.asarray(vals))
+        np.testing.assert_allclose(got, [0.01, 0.05, 90.0, 300.0], rtol=5e-3,
+                                   atol=1e-4)

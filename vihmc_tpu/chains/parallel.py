@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vihmc_tpu.hmc.kernel import HMCConfig, SampleResult, sample
-from vihmc_tpu.hmc.metric import LowRankMetric, as_inv_mass
+from vihmc_tpu.hmc.metric import EigenMetric, LowRankMetric, as_inv_mass
 
 
 def make_chain_mesh(n_chain_shards: Optional[int] = None, n_data_shards: int = 1,
@@ -72,7 +72,7 @@ def shard_query(mesh: Mesh, trunk_x, y):
 
 @functools.lru_cache(maxsize=64)
 def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
-                         mesh, grad_fn):
+                         mesh, grad_fn, delta_fn=None):
     """One jitted multi-chain sampler per (log_prob, config, hooks, mesh).
 
     Caching here is essential: a fresh ``jax.jit(jax.vmap(...))`` object per
@@ -86,7 +86,8 @@ def _build_chain_sampler(log_prob_fn, config, aux_refresh, shard_log_prob_fn,
     def one_chain(k, q0, inv_mass, aux, shard_data):
         return sample(log_prob_fn, q0, k, config, inv_mass=inv_mass, aux=aux,
                       aux_refresh=aux_refresh, shard_log_prob_fn=shard_log_prob_fn,
-                      shard_data=shard_data, grad_fn=grad_fn)
+                      shard_data=shard_data, grad_fn=grad_fn,
+                      delta_fn=delta_fn)
 
     vmapped = jax.vmap(one_chain, in_axes=(0, 0, None, None, None),
                        axis_name="chains")
@@ -150,6 +151,7 @@ def sample_chains(
     shard_data=None,
     mesh: Optional[Mesh] = None,
     grad_fn=None,
+    delta_fn=None,
 ) -> SampleResult:
     """Run C independent chains. Result arrays gain a leading chains axis.
 
@@ -169,7 +171,7 @@ def sample_chains(
     inv_mass = as_inv_mass(inv_mass)
 
     fn = _build_chain_sampler(log_prob_fn, config, aux_refresh,
-                              shard_log_prob_fn, mesh, grad_fn)
+                              shard_log_prob_fn, mesh, grad_fn, delta_fn)
     return fn(chain_keys, init_positions, inv_mass, aux, shard_data)
 
 
@@ -197,9 +199,10 @@ def _build_nuts_chain_sampler(log_prob_fn, config, aux_refresh, mesh,
 def sample_chains_nuts(log_prob_fn, init_positions, key, config, inv_mass=1.0,
                        aux=None, aux_refresh=None, mesh=None, grad_fn=None):
     """Multi-chain NUTS (vmap + mesh), mirroring :func:`sample_chains`."""
-    if isinstance(inv_mass, LowRankMetric):
-        raise TypeError("LowRankMetric is supported by the HMC kernel only "
-                        "(sample_chains); NUTS/ChEES take diagonal metrics")
+    if isinstance(inv_mass, (LowRankMetric, EigenMetric)):
+        raise TypeError("structured metrics are supported by the HMC kernel "
+                        "only (sample_chains); NUTS/ChEES take diagonal "
+                        "metrics")
     n_chains = init_positions.shape[0]
     chain_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n_chains))
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
@@ -237,9 +240,10 @@ def sample_chains_chees(log_prob_fn, init_positions, key, config, inv_mass=1.0,
     ``aux`` here is shared and gets a leading chain axis by tiling (each
     chain then refreshes its own copy via ``aux_refresh``).
     """
-    if isinstance(inv_mass, LowRankMetric):
-        raise TypeError("LowRankMetric is supported by the HMC kernel only "
-                        "(sample_chains); NUTS/ChEES take diagonal metrics")
+    if isinstance(inv_mass, (LowRankMetric, EigenMetric)):
+        raise TypeError("structured metrics are supported by the HMC kernel "
+                        "only (sample_chains); NUTS/ChEES take diagonal "
+                        "metrics")
     n_chains = init_positions.shape[0]
     inv_mass = jnp.asarray(inv_mass, jnp.float32)
     if aux is not None:

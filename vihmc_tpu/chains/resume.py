@@ -28,7 +28,7 @@ from vihmc_tpu.io.checkpoint import save_checkpoint, load_checkpoint, latest_ste
 
 @functools.lru_cache(maxsize=64)
 def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
-                          aux_refresh, grad_fn=None):
+                          aux_refresh, grad_fn=None, delta_fn=None):
     """One compiled scan of ``segment_size`` draws, reused across segments AND
     across calls (the kernel never reads ``config.num_samples``, so it is
     normalized out of the cache key). Array inputs (state, key, inv_mass) are
@@ -36,7 +36,8 @@ def _build_segment_runner(log_prob_fn, config: HMCConfig, segment_size: int,
 
     def run_segment(state, seg_idx, key, inv_mass):
         kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
-                             aux_refresh=aux_refresh, grad_fn=grad_fn)
+                             aux_refresh=aux_refresh, grad_fn=grad_fn,
+                             delta_fn=delta_fn)
         seg_key = jax.random.fold_in(key, seg_idx)
         n_chains = state.position.shape[0]
 
@@ -72,6 +73,7 @@ def sample_chains_resumable(
     progress: Optional[callable] = None,
     grad_fn=None,
     thin: int = 1,
+    delta_fn=None,
 ):
     """Like :func:`vihmc_tpu.chains.sample_chains` but in checkpointed segments.
 
@@ -96,7 +98,7 @@ def sample_chains_resumable(
     inv_mass = as_inv_mass(inv_mass)
     runner = _build_segment_runner(
         log_prob_fn, dataclasses.replace(config, num_samples=0), segment_size,
-        aux_refresh, grad_fn)
+        aux_refresh, grad_fn, delta_fn)
 
     def run_segment(state, seg_idx):
         return runner(state, jnp.asarray(seg_idx), key, inv_mass)

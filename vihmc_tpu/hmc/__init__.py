@@ -14,9 +14,10 @@ from vihmc_tpu.hmc.subspace import (FrozenPolicy, make_subspace_grad,
                                     make_subspace_log_prob, SubspaceSpec)
 from vihmc_tpu.hmc.nuts import NUTSConfig, nuts_sample
 from vihmc_tpu.hmc.chees import ChEESConfig, chees_sample
-from vihmc_tpu.hmc.metric import (LowRankMetric, estimate_lowrank_metric,
-                                  lanczos_eigs, lowrank_from_eigs,
-                                  make_lowrank_metric)
+from vihmc_tpu.hmc.metric import (EigenMetric, LowRankMetric,
+                                  eigen_metric_from_eigs,
+                                  estimate_lowrank_metric, lanczos_eigs,
+                                  lowrank_from_eigs, make_lowrank_metric)
 
 
 def sample_model(*args, **kwargs):
@@ -59,6 +60,8 @@ __all__ = [
     "ChEESConfig",
     "chees_sample",
     "LowRankMetric",
+    "EigenMetric",
+    "eigen_metric_from_eigs",
     "estimate_lowrank_metric",
     "lanczos_eigs",
     "lowrank_from_eigs",

@@ -35,8 +35,9 @@ from vihmc_tpu.hmc.adaptation import (DualAveragingState, da_init, da_restart,
                                       da_update)
 from vihmc_tpu.hmc.integrators import (leapfrog, leapfrog_grad_only,
                                        split_leapfrog)
-from vihmc_tpu.hmc.metric import (LowRankMetric, mass_kinetic_energy,
-                                  mass_sample_momentum, mass_velocity)
+from vihmc_tpu.hmc.metric import (EigenMetric, LowRankMetric,
+                                  mass_kinetic_energy, mass_sample_momentum,
+                                  mass_velocity)
 
 #: log-Hamiltonian-error threshold below which a transition counts as divergent
 DIVERGENCE_THRESHOLD = -1000.0
@@ -300,9 +301,9 @@ def _normalize_log_prob(log_prob_fn):
 def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
                inv_mass=1.0, grad_fn=None, key=None) -> HMCState:
     fn = _normalize_log_prob(log_prob_fn)
-    if isinstance(inv_mass, LowRankMetric) and (
+    if isinstance(inv_mass, (LowRankMetric, EigenMetric)) and (
             config.adapt_mass or config.init_step_search):
-        raise ValueError("LowRankMetric is a fixed metric: incompatible with "
+        raise ValueError("structured metrics are fixed: incompatible with "
                          "adapt_mass / init_step_search")
     if grad_fn is not None:
         # state.grad must hold the SAME gradient field the trajectory uses
@@ -402,6 +403,7 @@ def make_kernel(
     shard_log_prob_fn: Optional[Callable] = None,
     shard_data=None,
     grad_fn: Optional[Callable] = None,
+    delta_fn: Optional[Callable] = None,
 ):
     """Build ``kernel(state, key, iteration) -> (state, info)``.
 
@@ -423,6 +425,20 @@ def make_kernel(
         so any deterministic gradient field keeps the sampler unbiased
         (reversible, volume-preserving integrator; exact energies).
         Incompatible with the splitting integrator.
+    delta_fn : optional ``(q1, q0, aux) -> (delta_log_prob, lp1_record)``
+        PAIRED log-density difference used for the MH test instead of
+        ``log_prob(q1) - log_prob(q0)``. For likelihoods that are sums of
+        millions of terms, differencing two separately-accumulated f32 sums
+        carries evaluation noise that GROWS with the distance |q1 - q0| —
+        measured O(1) nats at trajectory-sized displacements on the
+        reference-scale DeepONet (scripts/tpu_noise_probe.py), an
+        acceptance ceiling that makes step-size adaptation collapse
+        (docs/performance.md round 4). A paired evaluator computes the
+        difference as one sum of SMALL per-term differences
+        (e.g. sum((e1-e0)*(e1+e0)) for Gaussian errors), cutting the noise
+        ~100x at f32. ``lp1_record`` is the proposal's log-density for the
+        result records (any f32 evaluation). Plain leapfrog integrator
+        only.
     """
     fn = _normalize_log_prob(log_prob_fn)
     vag = jax.value_and_grad(fn)
@@ -433,9 +449,14 @@ def make_kernel(
         win_start, win_ends = mass_window_schedule(config.burn)
         windowed = len(win_ends) > 0
 
-    if isinstance(inv_mass, LowRankMetric) and config.adapt_mass:
-        raise ValueError("LowRankMetric is a fixed metric: incompatible with "
+    if isinstance(inv_mass, (LowRankMetric, EigenMetric)) and config.adapt_mass:
+        raise ValueError("structured metrics are fixed: incompatible with "
                          "adapt_mass")
+    dfn = None
+    if delta_fn is not None:
+        if config.integrator == "splitting":
+            raise ValueError("delta_fn requires the plain leapfrog integrator")
+        dfn = delta_fn
     if config.integrator == "splitting":
         if shard_log_prob_fn is None or shard_data is None:
             raise ValueError("splitting integrator requires shard_log_prob_fn and shard_data")
@@ -458,6 +479,15 @@ def make_kernel(
                 lp0, g0 = fn(state.position, aux), gfn(state.position, aux)
             else:
                 lp0, g0 = vag(state.position, aux)
+        elif dfn is not None:
+            # paired-delta path: the MH test never uses lp0, so skip the
+            # in-scan density recompute entirely (its purpose — killing the
+            # cross-compilation f32 offset — is subsumed: the paired
+            # evaluator differences per-term, which removes both the offset
+            # and the distance-dependent accumulation noise)
+            aux = state.aux
+            g0 = state.grad
+            lp0 = state.log_prob
         else:
             aux = state.aux
             # recompute lp0 IN-SCAN instead of trusting the carried value:
@@ -546,7 +576,7 @@ def make_kernel(
                 (q1, p1, g1), _ = jax.lax.scan(
                     lf_step, (state.position, p0, g0),
                     jnp.arange(config.num_leapfrog))
-                lp1 = fn(q1, aux)
+                lp1 = lp0 if dfn is not None else fn(q1, aux)
             else:
                 def lf_step(carry, i):
                     q, p, g, lp = carry
@@ -567,14 +597,18 @@ def make_kernel(
             q1, p1, g1 = leapfrog_grad_only(lambda q: gfn(q, aux),
                                             state.position, p0, g0, eps,
                                             config.num_leapfrog, inv_mass_t)
-            lp1 = fn(q1, aux)
+            lp1 = lp0 if dfn is not None else fn(q1, aux)
         else:
             q1, p1, lp1, g1 = leapfrog(lambda q: vag(q, aux), state.position, p0,
                                        g0, eps, config.num_leapfrog, inv_mass_t)
         ke1 = mass_kinetic_energy(inv_mass_t, p1)
 
         # --- Metropolis accept/reject with NaN-safe energies ---
-        delta = (lp1 - ke1) - (lp0 - ke0)
+        if dfn is not None:
+            dlp, lp1 = dfn(q1, state.position, aux)
+            delta = dlp - (ke1 - ke0)
+        else:
+            delta = (lp1 - ke1) - (lp0 - ke0)
         finite = jnp.isfinite(delta)
         accept_prob = jnp.where(finite, jnp.minimum(1.0, jnp.exp(jnp.minimum(delta, 0.0))), 0.0)
         log_u = jnp.log(jax.random.uniform(key_u))
@@ -651,6 +685,7 @@ def sample(
     shard_log_prob_fn: Optional[Callable] = None,
     shard_data=None,
     grad_fn: Optional[Callable] = None,
+    delta_fn: Optional[Callable] = None,
 ) -> SampleResult:
     """Draw ``config.num_samples`` HMC samples from ``log_prob_fn``.
 
@@ -660,7 +695,7 @@ def sample(
     kernel = make_kernel(log_prob_fn, config, inv_mass=inv_mass,
                          aux_refresh=aux_refresh,
                          shard_log_prob_fn=shard_log_prob_fn, shard_data=shard_data,
-                         grad_fn=grad_fn)
+                         grad_fn=grad_fn, delta_fn=delta_fn)
     state0 = init_state(log_prob_fn, init_position, config, aux=aux,
                         inv_mass=inv_mass, grad_fn=grad_fn,
                         key=jax.random.fold_in(key, 0x1517))

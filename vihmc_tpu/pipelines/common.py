@@ -13,7 +13,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from vihmc_tpu.core.ravel import ravel_pytree
+from vihmc_tpu.core.ravel import ravel_pytree, scatter_subspace
 from vihmc_tpu.dists.likelihoods import get_likelihood
 from vihmc_tpu.models.mlp import MLPConfig, init_mlp, mlp_apply
 from vihmc_tpu.models.deeponet import DeepONetConfig, init_deeponet, deeponet_apply
@@ -149,3 +149,44 @@ def deeponet_vi_apply(cfg: DeepONetConfig, mode: str = "bbb"):
                                        mode=mode, sample=sample)
 
     return apply_fn
+
+
+def make_paired_subspace_delta(apply_flat, branch_x, trunk_x, y, tau_var,
+                               spec, prior, precision: str = "float32"):
+    """Paired MH log-density difference for the subspace DeepONet posterior
+    (the kernel's ``delta_fn`` — hmc/kernel.py).
+
+    Computes ``log p(q1|aux) - log p(q0|aux)`` as ONE reduction of per-term
+    differences, ``-0.5/tau * sum((e1 - e0) * (e1 + e0))``: for the
+    reference-scale likelihood (10M Gaussian terms) differencing two
+    separately-accumulated f32 sums carries evaluation noise that grows
+    with |q1 - q0| to O(1) nats at trajectory scale — an MH acceptance
+    ceiling (measured: scripts/tpu_noise_probe.py; forensics in
+    docs/performance.md round 4). The paired form's terms are SMALL, so the
+    float error stays ~1e-2 nats. Both forwards run at ``precision`` matmul
+    precision (default f32 — the bf16 datapath's per-element forward noise
+    would otherwise re-enter through e1 - e0).
+
+    Returns ``delta_fn(q1, q0, aux) -> (delta_log_prob, lp1_record)`` where
+    ``lp1_record`` matches ``get_likelihood('NLL') + prior.log_prob``
+    (torch GaussianNLLLoss semantics, no 2-pi constant).
+    """
+    idx = spec.idx_array
+    n_obs = y.size
+    var = jnp.maximum(jnp.asarray(tau_var, jnp.float32), 1e-6)
+    const = -0.5 * n_obs * jnp.log(var)
+
+    def delta_fn(q1, q0, aux):
+        full1 = scatter_subspace(aux, q1, idx)
+        full0 = scatter_subspace(aux, q0, idx)
+        with jax.default_matmul_precision(precision):
+            p1 = apply_flat(full1, branch_x, trunk_x)
+            p0 = apply_flat(full0, branch_x, trunk_x)
+        e1 = p1 - y
+        e0 = p0 - y
+        dll = (-0.5 / var) * jnp.sum((e1 - e0) * (e1 + e0))
+        dpr = prior.log_prob(q1) - prior.log_prob(q0)
+        lp1 = (-0.5 / var) * jnp.sum(e1 * e1) + const + prior.log_prob(q1)
+        return dll + dpr, lp1
+
+    return delta_fn
