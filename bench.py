@@ -395,7 +395,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               lowrank_iters=None, init_opt: int = 0,
               density_precision: str = "float32", target_accept=None,
               hutch_diag: int = 0, eigen_two_sided: bool = False,
-              paired_delta: bool = True):
+              paired_delta: bool = True, grad_dtype: str = "float32"):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -520,9 +520,11 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             # in the trajectory gradient (attacks the branch-cost floor the
             # query stride leaves; see BENCH_FN_STRIDE comment)
             fn_subset = np.arange(0, branch_x.shape[0], fn_stride)
-        grad_full, _, _ = make_gram_grad_full(cfg, branch_x, trunk_x, y, 1.0,
-                                              query_subset=subset,
-                                              fn_subset=fn_subset)
+        grad_full, _, _ = make_gram_grad_full(
+            cfg, branch_x, trunk_x, y, 1.0, query_subset=subset,
+            fn_subset=fn_subset,
+            compute_dtype=(jnp.bfloat16 if grad_dtype == "bfloat16"
+                           else None))
         sub_grad = make_subspace_grad(grad_full, spec, prior=prior)
         clip = BENCH_CLIP * (len(idx) / 2048.0) ** 0.5
         grad_fn = clipped_grad_fn(sub_grad, clip, inv_mass=inv_mass_vec)
@@ -794,6 +796,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "ess_per_s_by_key": [round(s["ess_per_s"], 3) for s in per_key],
         "frozen_policy": frozen_policy,
         "density_precision": density_precision,
+        "grad_dtype": grad_dtype,
         "paired_delta": bool(delta_fn is not None),
         "init_opt": init_opt,
         "warm_start_s": round(warm_s, 2),
@@ -1519,6 +1522,15 @@ def main():
                          "0.65; must sit BELOW the configuration's "
                          "acceptance ceiling or adaptation diverges "
                          "downward — docs/performance.md round 4)")
+    ap.add_argument("--grad-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="dtype of the Gram trajectory-gradient datapath "
+                         "(features, residuals, VJP; matmul accumulation "
+                         "stays f32). The f32 hot loop is HBM-bound on the "
+                         "stack residuals; bf16 halves that traffic. Field "
+                         "precision only — MH density evaluations are "
+                         "untouched, so the sampled law is identical "
+                         "(gram_merge.py docstring)")
     ap.add_argument("--density-precision", default="float32",
                     choices=["default", "float32", "highest"],
                     help="matmul precision of the MH density evaluations "
@@ -1694,7 +1706,8 @@ def main():
                              target_accept=args.target_accept,
                              hutch_diag=args.hutch_diag,
                              eigen_two_sided=args.eigen_two_sided,
-                             paired_delta=not args.no_paired_delta)
+                             paired_delta=not args.no_paired_delta,
+                             grad_dtype=args.grad_dtype)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

@@ -91,6 +91,53 @@ def test_gram_grad_full_matches_autodiff():
                                np.asarray(want) / scale, atol=5e-4)
 
 
+def test_gram_grad_bf16_tracks_f32_field():
+    """compute_dtype=bfloat16 is a trajectory-FIELD precision choice: the
+    gradient must stay f32-typed and direction-aligned with the exact field
+    (cosine ~1 at bf16 resolution), while MH density evaluations are
+    untouched — so validity is unaffected and only acceptance could degrade
+    (gram_merge.py docstring; adopted after on-chip measurement,
+    docs/performance.md round 4)."""
+    rng = np.random.default_rng(5)
+    branch_x, trunk_x, y = _problem(rng)
+    prior = IsotropicGaussianPrior(scale=0.5)
+    grad_f32, flat0, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y,
+                                             0.7, prior=prior)
+    grad_bf16, _, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y,
+                                          0.7, prior=prior,
+                                          compute_dtype=jnp.bfloat16)
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape),
+                                      jnp.float32)
+    g32 = np.asarray(grad_f32(flat), np.float64)
+    gbf = np.asarray(grad_bf16(flat))
+    assert gbf.dtype == np.float32  # field output stays f32
+    gbf = gbf.astype(np.float64)
+    cos = gbf @ g32 / (np.linalg.norm(gbf) * np.linalg.norm(g32) + 1e-30)
+    assert cos > 0.999, cos
+    # magnitude agreement at bf16 resolution (relative, against the field
+    # scale — elementwise comparison is meaningless where g ~ 0)
+    scale = np.max(np.abs(g32)) + 1e-30
+    assert np.max(np.abs(gbf - g32)) / scale < 0.05
+
+
+def test_gram_grad_bf16_composes_with_subsets():
+    """bf16 and the stride surrogates are orthogonal switches."""
+    rng = np.random.default_rng(6)
+    branch_x, trunk_x, y = _problem(rng)
+    fn_subset = np.arange(0, branch_x.shape[0], 2)
+    grad_f32, flat0, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y,
+                                             0.7, fn_subset=fn_subset)
+    grad_bf16, _, _ = make_gram_grad_full(SMALL, branch_x, trunk_x, y, 0.7,
+                                          fn_subset=fn_subset,
+                                          compute_dtype=jnp.bfloat16)
+    flat = flat0 + 0.05 * jnp.asarray(rng.normal(size=flat0.shape),
+                                      jnp.float32)
+    g32 = np.asarray(grad_f32(flat), np.float64)
+    gbf = np.asarray(grad_bf16(flat), np.float64)
+    cos = gbf @ g32 / (np.linalg.norm(gbf) * np.linalg.norm(g32) + 1e-30)
+    assert cos > 0.999, cos
+
+
 def test_gram_grad_guards():
     rng = np.random.default_rng(5)
     branch_x, trunk_x, y = _problem(rng)

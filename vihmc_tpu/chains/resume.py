@@ -134,9 +134,14 @@ def sample_chains_resumable(
              "log_prob": []}
     for seg in range(start_seg, n_segments):
         state, outs = run_segment(state, seg)
-        seg_samples = np.asarray(outs["position"])  # (C, seg, D)
+        pos = outs["position"]  # (C, seg, D) on device
         if thin > 1:
-            seg_samples = seg_samples[:, thin - 1::thin]
+            # thin ON DEVICE before the host transfer: at the 90%-subspace
+            # scale the unthinned (32, 60, 81k) segment is hundreds of MB
+            # and the host link (a tunnel on this backend) is the sampler's
+            # measured bottleneck — moving thin x less data is a pure win
+            pos = pos[:, thin - 1::thin]
+        seg_samples = np.asarray(pos)
         collected.append(seg_samples)
         for k in infos:
             infos[k].append(np.asarray(outs[k]))
@@ -153,13 +158,18 @@ def sample_chains_resumable(
     out_infos = {k: (np.concatenate(v, axis=1)[:, :n_total] if v else
                      np.zeros((n_chains, 0))) for k, v in infos.items()}
     # note: on resume the per-draw info arrays cover only the segments run in
-    # this process; samples are always complete.
+    # this process; samples are always complete. The collected history stays
+    # HOST-side (numpy): re-wrapping with jnp.asarray would push the full
+    # (C, S, D) history back through the device link just for the caller to
+    # pull it out again — a measured 2x round trip of the entire sample
+    # history at reference scale. numpy arrays satisfy every downstream
+    # consumer (diagnostics are *_np; jnp ops accept numpy operands).
     return SampleResult(
-        samples=jnp.asarray(samples),
-        log_probs=jnp.asarray(out_infos["log_prob"]),
-        accept_probs=jnp.asarray(out_infos["accept_prob"]),
-        accepted=jnp.asarray(out_infos["accepted"]),
-        step_sizes=jnp.asarray(out_infos["step_size"]),
-        divergent=jnp.asarray(out_infos["divergent"]),
+        samples=samples,
+        log_probs=out_infos["log_prob"],
+        accept_probs=out_infos["accept_prob"],
+        accepted=out_infos["accepted"],
+        step_sizes=out_infos["step_size"],
+        divergent=out_infos["divergent"],
         final_state=state,
     )

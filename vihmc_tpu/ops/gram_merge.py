@@ -54,8 +54,8 @@ def merge_nll_gram_cotangents(bout, tout, bias, y, tau):
     """
     var = max(float(tau), _GNLL_EPS)
     f32 = jnp.float32
-    sum_t = jnp.sum(tout, axis=0)                       # (K,)
-    sum_b = jnp.sum(bout, axis=0)                       # (K,)
+    sum_t = jnp.sum(tout, axis=0, dtype=f32)            # (K,)
+    sum_b = jnp.sum(bout, axis=0, dtype=f32)            # (K,)
     gram_t = jnp.dot(tout.T, tout, preferred_element_type=f32)   # (K, K)
     gram_b = jnp.dot(bout.T, bout, preferred_element_type=f32)   # (K, K)
     yt = jnp.dot(y, tout, preferred_element_type=f32)            # (B, K)
@@ -65,12 +65,14 @@ def merge_nll_gram_cotangents(bout, tout, bias, y, tau):
     ct_tout = (yb - jnp.dot(tout, gram_b, preferred_element_type=f32)
                - bias * sum_b) / var
     n = y.shape[0] * y.shape[1]
-    ct_bias = (jnp.sum(y) - jnp.dot(sum_b, sum_t) - n * bias) / var
+    ct_bias = (jnp.sum(y, dtype=f32) - jnp.dot(sum_b, sum_t)
+               - n * jnp.asarray(bias, f32)) / var
     return ct_bout, ct_tout, ct_bias
 
 
 def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
-                        key=None, query_subset=None, fn_subset=None):
+                        key=None, query_subset=None, fn_subset=None,
+                        compute_dtype=None):
     """d log-posterior / d flat for the shared-grid homoscedastic-NLL DeepONet.
 
     Returns ``(grad_full, flat0, unravel)`` where ``grad_full(flat) -> (D,)``
@@ -101,6 +103,21 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
     exactly the cost floor the query stride leaves behind. Both subsets
     compose; exactness is unchanged (fixed subsets -> deterministic field,
     MH on the exact full density at endpoints).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the feature stacks, the
+    data contractions, and the feature VJP in that dtype, returning an f32
+    gradient. At f32 the chain-vmapped gradient is HBM-bound: the trunk
+    stack's forward residuals alone are (chains, P, width) x depth arrays
+    written in the forward and re-read in the VJP, roughly
+    ``2 x chains x P x width x depth x 4`` bytes of traffic per evaluation —
+    more wall than the matmul FLOPs at reference scale. bf16 halves that
+    traffic (matmul accumulation stays f32 via ``preferred_element_type``
+    inside XLA). This is a TRAJECTORY-FIELD precision choice only — the same
+    argument as the fp32-rounding caveat above: leapfrog stays reversible
+    and volume-preserving for any deterministic field, MH on the exact f32
+    density stays unbiased, and only acceptance degrades if the bf16 field
+    tracks the true gradient poorly (measured on-chip before adoption —
+    docs/performance.md round 4).
     """
     from vihmc_tpu.models.deeponet import deeponet_features, init_deeponet
 
@@ -125,8 +142,15 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
         branch_x = branch_x[fsel]
         y = y[fsel]
 
+    if compute_dtype is not None:
+        branch_x = branch_x.astype(compute_dtype)
+        trunk_x = trunk_x.astype(compute_dtype)
+        y = y.astype(compute_dtype)
+
     def feats_flat(flat):
         params = unravel(flat)
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
         bout, tout = deeponet_features(cfg, params, branch_x, trunk_x)
         return bout, tout, params["b"]
 
@@ -135,6 +159,10 @@ def make_gram_grad_full(cfg, branch_x, trunk_x, y, tau_var, prior=None,
         cts = merge_nll_gram_cotangents(bout, tout, bias, y, tau_var)
         if ll_scale != 1.0:
             cts = tuple(ll_scale * c for c in cts)
+        if compute_dtype is not None:
+            # cotangents re-enter the bf16 VJP; the cast chain inside
+            # feats_flat casts the final parameter cotangent back to f32
+            cts = tuple(c.astype(compute_dtype) for c in cts)
         (gflat,) = vjp(cts)
         if prior is not None:
             gflat = gflat + jax.grad(prior.log_prob)(flat)
