@@ -1522,7 +1522,7 @@ def main():
                          "0.65; must sit BELOW the configuration's "
                          "acceptance ceiling or adaptation diverges "
                          "downward — docs/performance.md round 4)")
-    ap.add_argument("--grad-dtype", default="float32",
+    ap.add_argument("--grad-dtype", default=None,
                     choices=["float32", "bfloat16"],
                     help="dtype of the Gram trajectory-gradient datapath "
                          "(features, residuals, VJP; matmul accumulation "
@@ -1652,6 +1652,14 @@ def main():
             args.stride = 1
             args.fn_stride = 1
             args.laplace_mass = True
+            if args.grad_dtype is None:
+                # measured on-chip (docs/performance.md round 4): bf16
+                # trajectory gradients raise the headline 0.329 -> 0.58
+                # ESS/s — DA equilibrates at a LARGER step (0.075 vs
+                # 0.063) at the same 0.40 target, tau halves, MFU 5% ->
+                # 12.5%. Field precision only; the sampled law is
+                # identical (--grad-dtype float32 restores the old path)
+                args.grad_dtype = "bfloat16"
             if args.lowrank_mass == 0:
                 args.lowrank_mass = 256
             if args.L is None:
@@ -1707,7 +1715,7 @@ def main():
                              hutch_diag=args.hutch_diag,
                              eigen_two_sided=args.eigen_two_sided,
                              paired_delta=not args.no_paired_delta,
-                             grad_dtype=args.grad_dtype)
+                             grad_dtype=args.grad_dtype or "float32")
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

@@ -798,6 +798,16 @@ def test_pipeline_clip_and_jitter_options():
     with pytest.raises(ValueError):
         vi_hmc.run_nn(dc.replace(cfg, fn_stride=2), MLPConfig(), arts,
                       key=jax.random.key(1))
+    # grad_dtype='bfloat16' flows through the gram path (field precision
+    # only — round-4 headline recipe) and is rejected off it
+    out4 = vi_hmc.run_operator(dc.replace(cfg, grad_dtype="bfloat16"), dcfg,
+                               arts, key=jax.random.key(1),
+                               data=(train, valid))
+    assert np.isfinite(np.asarray(out4["result"].samples)).all()
+    with pytest.raises(ValueError):
+        vi_hmc.run_operator(dc.replace(cfg, grad_dtype="bfloat16"), dcfg,
+                            arts, key=jax.random.key(1), data=(train, valid),
+                            use_gram=False)
 
 
 def test_infer_grid_shape():

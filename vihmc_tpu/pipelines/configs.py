@@ -196,6 +196,17 @@ class VIHMCRunConfig:
                                      # coarse_stride. Exact density at
                                      # endpoints keeps MH unbiased; operator
                                      # gram path only
+    grad_dtype: Optional[str] = None  # 'bfloat16' runs the Gram TRAJECTORY
+                                     # gradient's feature stacks + VJP in
+                                     # bf16 (f32 accumulation; f32 gradient
+                                     # out). Field precision only — the MH
+                                     # density is untouched, so the sampled
+                                     # law is identical. Measured on-chip:
+                                     # ~2x the hot-loop marginal compute and
+                                     # a LARGER dual-averaging equilibrium
+                                     # step at the same target
+                                     # (docs/performance.md round 4);
+                                     # operator Gram path only
     gauss_field: Optional[float] = None  # VI-Gaussian TRAJECTORY field:
                                      # leapfrog on the score of
                                      # N(mu[idx], alpha*sigma[idx]^2) — zero

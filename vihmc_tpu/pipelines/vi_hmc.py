@@ -676,14 +676,21 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
 
             fn_subset = _np.arange(0, train_split["branch_in"].shape[0],
                                    cfg.fn_stride)
+        import jax.numpy as _jnp
+
         full_grad, _, _ = make_gram_grad_full(
             deeponet_cfg, train_split["branch_in"], train_split["trunk_in"],
             train_split["solution"], tau_var=cfg.tau_out,
-            query_subset=subset, fn_subset=fn_subset)
+            query_subset=subset, fn_subset=fn_subset,
+            compute_dtype=(_jnp.bfloat16 if cfg.grad_dtype == "bfloat16"
+                           else None))
     elif cfg.coarse_stride or cfg.fn_stride:
         raise ValueError("coarse_stride/fn_stride require the Gram "
                          "trajectory-gradient path (plain HMC, NLL, shared "
                          "grid, use_gram)")
+    elif cfg.grad_dtype:
+        raise ValueError("grad_dtype applies to the Gram trajectory-gradient "
+                         "path (operator NLL, shared grid, use_gram)")
 
     out = run_subspace_hmc(
         cfg,
