@@ -123,17 +123,37 @@ TORCH_ESS_MEASURED = 0.00372
 #: baseline). All diagonal-metric variants are correlation-bound at this
 #: scale — weight-space tau >> 300 on the r3 posterior.
 NINETYPCT_MEASURED = {
-    "ess_per_s": 0.203,
-    "asset": "stress", "frozen_policy": "refresh",
-    "ess_median_by_key": [23.8, 24.4, 24.5],
-    "wall_s_by_key": [111.96, 120.64, 135.23],
+    "ess_per_s": 0.0977,
+    "asset": "stress", "frozen_policy": "draw",
+    "ess_median_by_key": [22.1, 22.2, 22.4],
+    "wall_s_by_key": [224.72, 227.63, 236.99],
+    "wall_spread_frac": 0.054,
     "subspace_dim": 37294,
-    "chains": 32, "draws": 360, "burn": 72, "thin": 3,
-    "acceptance": 0.6413,
-    "config": "coupled stride-5/5 + laplace_mass + thin 3",
-    "mfu": 0.00974,
-    "measured": "2026-08-21 (bench --subspace 90pct --laplace-mass "
-                "--thin 3, 3 keys)",
+    "chains": 32, "draws": 1440, "burn": 288, "thin": 6,
+    "acceptance": 0.3941,
+    "ess_median_half1": 19.58, "ess_median_half2": 18.61,
+    "config": "complete valid draw recipe: warm start + laplace diagonal "
+              "+ rank-512 low-rank metric + full-grid bf16 trajectory "
+              "gradients + f32 paired-delta density + L=8 @ 0.40",
+    "lowrank_spectrum": {"rank": 512, "eig_top": 6342.4,
+                         "eig_min_kept": 8.8, "n_above_10": 505,
+                         "n_above_100": 77, "n_above_1000": 20},
+    "mfu": 0.0908,
+    "measured": "2026-08-21 (bench --subspace 90pct --asset stress "
+                "--draws 1440 --burn 288 --thin 6 --lowrank-mass 512, "
+                "3 keys). History: r3 refresh-policy row 0.203 ESS/s "
+                "(INVALID sampler — reported for lineage only); first "
+                "valid probe 0.036 (rank 256, f32, thin 3); this row is "
+                "2.7x the probe via on-device thin-6 transfers, bf16 "
+                "trajectory gradients, and rank 512. The 1 ESS/s target "
+                "(VERDICT r3 item 2) is NOT reached: the preconditioned "
+                "conditional spectrum decays as a power law "
+                "lambda_k ~ 6342 k^-1.09 (505 of 512 directions above "
+                "10) — a curvature CONTINUUM where each rank doubling "
+                "buys ~1.3x step — and the per-draw step quartiles "
+                "still decline at 1440 draws, i.e. the binding "
+                "constraint has shifted to trajectory-field quality / "
+                "density roughness, not spectrum rank.",
 }
 
 #: bf16 MXU peak FLOP/s by TPU generation (device_kind substring match,
