@@ -130,3 +130,19 @@ def test_cli_vi_hmc_segmented_and_adaptive(tmp_path):
     assert rc == 0
     samples = np.load(tmp_path / "h" / "hmc_params.npy")
     assert samples.shape[:2] == (2, 6) and np.isfinite(samples).all()  # thinned
+
+
+def test_cli_vi_hmc_round4_recipe_flags(tmp_path):
+    """The round-4 valid-recipe knobs (--laplace-mass/--lowrank-rank/
+    --init-optimize, and algorithm=auto) flow through the vi-hmc CLI."""
+    out = str(tmp_path)
+    rc = main(["vi-nn", "--epochs", "2", "--out", out, "--uid", "d",
+               "--with-sensitivity"])
+    assert rc == 0
+    rc = main(["vi-hmc", "--artifacts", f"{out}/d", "--num-samples", "10",
+               "--num-chains", "2", "--policy", "draw",
+               "--lowrank-rank", "4", "--init-optimize", "5",
+               "--algorithm", "auto", "--out", out, "--uid", "r4"])
+    assert rc == 0
+    samples = np.load(tmp_path / "r4" / "hmc_params.npy")
+    assert samples.shape[:2] == (2, 10) and np.isfinite(samples).all()

@@ -75,7 +75,8 @@ def build_parser():
     p.add_argument("--num-samples", type=int, default=None)
     p.add_argument("--num-chains", type=int, default=None)
     p.add_argument("--policy", choices=["mean", "draw", "refresh"], default=None)
-    p.add_argument("--algorithm", choices=["hmc", "nuts", "chees"], default=None,
+    p.add_argument("--algorithm", choices=["hmc", "nuts", "chees", "auto"],
+                   default=None,
                    help="hmc = reference behavior; nuts/chees adapt the "
                         "trajectory length")
     p.add_argument("--save-vi-trace", action="store_true",
@@ -116,6 +117,23 @@ def build_parser():
                         "acceptance target instead of freezing at the "
                         "burn-average step)")
     p.add_argument("--target-accept", type=float, default=None)
+    p.add_argument("--laplace-mass", action="store_true",
+                   help="kinetic metric from the stage-2 Fisher (diagonal "
+                        "conditional-Laplace scales) instead of VI sigma^2")
+    p.add_argument("--lowrank-rank", type=int, default=None, metavar="K",
+                   help="low-rank+diagonal kinetic metric: correct the K "
+                        "stiffest preconditioned curvature directions via "
+                        "Lanczos on conditional HVPs (round-4 headline "
+                        "recipe component)")
+    p.add_argument("--init-optimize", type=int, default=None, metavar="N",
+                   help="warm-start chain inits with N preconditioned Adam "
+                        "steps on the conditional before sampling "
+                        "(draw/mean policies)")
+    p.add_argument("--grad-dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="Gram trajectory-gradient datapath dtype (operator "
+                        "workload; field precision only — the sampled law "
+                        "is identical)")
     p.add_argument("--segment", type=int, default=None,
                    help="run in checkpointed segments of this many draws "
                         "(resumable with --ckpt)")
@@ -340,7 +358,11 @@ def main(argv=None):
                                          else None),
                         da_axis="chains" if args.da_axis else None,
                         adapt_forever=(True if args.adapt_forever else None),
-                        target_accept=args.target_accept)
+                        target_accept=args.target_accept,
+                        laplace_mass=(True if args.laplace_mass else None),
+                        lowrank_rank=args.lowrank_rank,
+                        init_optimize=args.init_optimize,
+                        grad_dtype=args.grad_dtype)
         seg_kw = dict(segment_size=args.segment, checkpoint_dir=args.ckpt,
                       sample_thin=args.thin)
         if args.workload == "nn":
