@@ -1683,7 +1683,15 @@ def main():
             if args.lowrank_mass == 0:
                 args.lowrank_mass = 256
             if args.L is None:
-                args.L = 8
+                # L sweep at the bf16 recipe (single-key, key 2):
+                # L=12: 0.48, L=8: ~0.70, L=6: 0.757, L=4: 0.793,
+                # L=3: 0.806 ESS/s — dual averaging holds displacement
+                # per draw ~constant (eps*L ~ 0.5-0.6) on the
+                # roughness-limited target, so shorter trajectories win
+                # almost linearly in cost until the momentum-persistence
+                # cliff. L=4 is the default (L=3's extra 1.6% is within
+                # key noise and closer to the random-walk regime).
+                args.L = 4
             if args.target_accept is None:
                 args.target_accept = 0.4
             if args.draws is None:
