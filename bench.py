@@ -153,7 +153,11 @@ NINETYPCT_MEASURED = {
                 "buys ~1.3x step — and the per-draw step quartiles "
                 "still decline at 1440 draws, i.e. the binding "
                 "constraint has shifted to trajectory-field quality / "
-                "density roughness, not spectrum rank.",
+                "density roughness, not spectrum rank. An f32-field "
+                "control measured 0.1024 (a wash). NOTE: this row ran "
+                "at L=8; the headline's L sweep (shorter trajectories "
+                "win ~linearly on roughness-limited targets) postdates "
+                "it — a short-L re-run is the first next lever.",
 }
 
 #: bf16 MXU peak FLOP/s by TPU generation (device_kind substring match,
