@@ -419,7 +419,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               lowrank_iters=None, init_opt: int = 0,
               density_precision: str = "float32", target_accept=None,
               hutch_diag: int = 0, eigen_two_sided: bool = False,
-              paired_delta: bool = True, grad_dtype: str = "float32"):
+              paired_delta: bool = True, grad_dtype: str = "float32",
+              persist: float = 0.0):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -656,7 +657,12 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
                             # 3 lever, retried at 360-draw scale
                             adapt_mass=windowed_mass,
                             mass_schedule="windowed" if windowed_mass else "half",
-                            metric_axis="chains" if windowed_mass else None)
+                            metric_axis="chains" if windowed_mass else None,
+                            # generalized/Horowitz HMC (hmc/kernel.py):
+                            # partial momentum refresh with reject-flip —
+                            # the short-trajectory escape from the
+                            # random-walk regime the L sweep walked up to
+                            momentum_persistence=persist)
     elif adaptive:
         # legacy round-1 adaptive config (kept for cross-round comparability)
         hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
@@ -665,7 +671,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     else:
         hmc_cfg = HMCConfig(num_samples=n_samples, num_leapfrog=bench_l,
                             step_size=BENCH_STEP, burn=n_burn, sampler="hmc",
-                            jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
+                            jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW,
+                            momentum_persistence=persist)
 
     # Long runs are segmented into 120-draw dispatches of ONE compiled scan
     # (the backend's TPU worker has crashed on single dispatches beyond
@@ -756,6 +763,12 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         half = post.shape[1] // 2
         ess_h1 = effective_sample_size_np(post[:, :half])
         ess_h2 = effective_sample_size_np(post[:, half:])
+        # tail honesty (VERDICT r4 item 7): the slowest direction and the
+        # convergence check ride every row, not just the median
+        from vihmc_tpu.chains import rhat_rank_np
+
+        rhat_max_k = (float(np.max(rhat_rank_np(post)))
+                      if post.shape[0] > 1 else None)
         step_tr = np.asarray(res.step_sizes)
         if step_tr.ndim == 2:
             step_tr = np.median(step_tr, axis=0)  # median over chains
@@ -775,6 +788,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
             "ess_min": float(np.min(ess)),
             "ess_median_half1": float(np.median(ess_h1)),
             "ess_median_half2": float(np.median(ess_h2)),
+            "rhat_max": rhat_max_k,
             "tau_floor_frac": floor_frac,
             "ess_per_s": float(np.median(ess)) / elapsed,
             "acceptance": float(res.acceptance_rate),
@@ -806,6 +820,8 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     wall_k = sorted(s["elapsed_s"] for s in per_key)
     med_ess = float(np.median(ess_k))
     med_wall = float(np.median(wall_k))
+    rhats = [s["rhat_max"] for s in per_key if s.get("rhat_max") is not None]
+    ess_mins = sorted(s["ess_min"] for s in per_key)
     stats.update({
         "ess_per_s": med_ess / med_wall,
         "ess_median_by_key": [round(e, 1) for e in ess_k],
@@ -813,6 +829,10 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "wall_s_median": round(med_wall, 3),
         "wall_spread_frac": (round((wall_k[-1] - wall_k[0]) / med_wall, 3)
                              if len(wall_k) > 1 else 0.0),
+        # tail honesty (VERDICT r4 item 7): min-ESS/s quotes the SLOWEST
+        # direction's rate; rhat_max the worst cross-chain convergence
+        "ess_min_per_s": round(float(np.median(ess_mins)) / med_wall, 4),
+        "rhat_max": round(max(rhats), 4) if rhats else None,
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
@@ -1035,7 +1055,8 @@ def build_nn_problem(quick: bool = False):
 
 def bench_nn(quick: bool, skip_baseline: bool = False,
              frozen_policy: str = "draw", step=None, L=None, chains=None,
-             lowrank_rank: int = 0):
+             lowrank_rank: int = 0, draws=None, thin=None, segment=None,
+             persist: float = 0.0):
     """Secondary workload (BASELINE.md north star covers both): ESS/s for
     subspace VI-HMC on the 141-param regression MLP (asset-defined subspace
     at the 90% captured-variance threshold, NLL tau_out=5e-2^2, refresh
@@ -1081,8 +1102,21 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     # (docstring above). 360 draws: the steady-state methodology of the
     # operator bench (round-1 VERDICT item 3) — at 120 draws the per-key
     # ESS/s spread on the real posterior was +-27%
+    # 1440 draws / thin 12 (round 5): the 360-draw row was fixed-cost
+    # tunnel-jitter dominated (driver capture wall 8.65-17.88 s, spread
+    # 0.882 — VERDICT r4 weak #1). The run is TRANSFER-bound: 360 draws x
+    # 1024 chains x 73 dims f32 is ~107 MB over the ~10 MB/s tunnel. The
+    # operator row's amortization fix applied here: 4x the draws (device
+    # compute amortizes the fixed costs) while thinning 12x ON DEVICE
+    # before transfer (tau ~575 >> 12, so pooled ESS is an unchanged
+    # estimate) — kept bytes drop ~12x per draw, total wall rises ~2x,
+    # and the jittery fixed cost becomes a small fraction of it.
     n_chains, n_samples, l_eff, step_eff = ((4, 20, 8, 0.1) if quick
-                                             else (1024, 360, 96, 0.1))
+                                             else (1024, 1440, 96, 0.1))
+    if draws is not None:
+        n_samples = draws
+    nn_thin = thin if thin is not None else (1 if quick else 12)
+    nn_seg = segment if segment is not None else (n_samples if quick else 480)
     if chains is not None:
         n_chains = chains
     L = l_eff if L is None else L
@@ -1110,11 +1144,13 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
             tag=(f"nn_{LAST_PROBLEM_PROVENANCE.get('assets','synth')}"
                  f"_d{len(idx)}_{frozen_policy}"),
             q0=jnp.asarray(inits.mean(axis=0)))
+    n_burn = n_samples // 5
     if fixed_step:
         # tuning mode (--nn-step): the round-1..3 fixed-step jittered config
         cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
-                        burn=n_samples // 5, sampler="hmc",
-                        jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW)
+                        burn=n_burn, sampler="hmc",
+                        jitter_l=True, jitter_low_frac=BENCH_JITTER_LOW,
+                        momentum_persistence=persist)
     else:
         # the coupled-DA production recipe (same as the operator headline):
         # chain-coupled dual averaging with diminishing adaptation + step
@@ -1122,33 +1158,51 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
         # policies (a fixed step tuned on one VI fit measured acceptance
         # 4e-4 on another)
         cfg = HMCConfig(num_samples=n_samples, num_leapfrog=L, step_size=step,
-                        burn=n_samples // 5, sampler="hmc_nuts",
+                        burn=n_burn, sampler="hmc_nuts",
                         target_accept=0.65, da_axis="chains",
                         adapt_forever=True, jitter_eps=True,
-                        jitter_low_frac=0.5)
+                        jitter_low_frac=0.5, momentum_persistence=persist)
 
-    def run(key):
-        return sample_chains(log_prob, inits, key, cfg,
-                             inv_mass=nn_metric,
-                             aux=aux0, aux_refresh=refresh, grad_fn=grad_fn)
+    if nn_thin > 1 and (nn_seg % nn_thin or n_burn % nn_thin):
+        raise ValueError("NN thin must divide the segment size and burn")
+    if n_samples > nn_seg:
+        from vihmc_tpu.chains.resume import sample_chains_resumable
+
+        def run(key):
+            return sample_chains_resumable(
+                log_prob, inits, key, cfg, segment_size=nn_seg,
+                inv_mass=nn_metric, aux=aux0, aux_refresh=refresh,
+                grad_fn=grad_fn, thin=nn_thin)
+    else:
+        def run(key):
+            return sample_chains(log_prob, inits, key, cfg,
+                                 inv_mass=nn_metric,
+                                 aux=aux0, aux_refresh=refresh,
+                                 grad_fn=grad_fn)
 
     res = run(jax.random.key(1))
     np.asarray(res.samples)
     warm_state = res.final_state
     adapted_step = float(np.exp(np.median(
         np.asarray(warm_state.da.log_step))))
+    from vihmc_tpu.chains import rhat_rank_np
+
     per_key = []
     for k in ((2,) if quick else BENCH_KEYS):
         t0 = time.perf_counter()
         res = run(jax.random.key(k))
         samples = np.asarray(res.samples)
         elapsed = time.perf_counter() - t0 + warm_s
-        ess = effective_sample_size_np(samples[:, n_samples // 5:, :])
+        post = samples[:, n_burn // nn_thin:, :]
+        ess = effective_sample_size_np(post)
         per_key.append({
             "key": k,
             "elapsed_s": elapsed,
             "samples_per_s": n_chains * n_samples / elapsed,
             "ess_median": float(np.median(ess)),
+            "ess_min": float(np.min(ess)),
+            "rhat_max": (float(np.max(rhat_rank_np(post)))
+                         if post.shape[0] > 1 else None),
             "ess_per_s": float(np.median(ess)) / elapsed,
             "acceptance": float(res.acceptance_rate),
         })
@@ -1159,6 +1213,8 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     ess_k = sorted(s["ess_median"] for s in per_key)
     wall_k = sorted(s["elapsed_s"] for s in per_key)
     med_ess, med_wall = float(np.median(ess_k)), float(np.median(wall_k))
+    rhats = [s["rhat_max"] for s in per_key if s.get("rhat_max") is not None]
+    ess_mins = sorted(s["ess_min"] for s in per_key)
     stats.update({
         "ess_per_s": med_ess / med_wall,
         "ess_median_by_key": [round(e, 1) for e in ess_k],
@@ -1166,9 +1222,12 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
         "wall_s_median": round(med_wall, 3),
         "wall_spread_frac": (round((wall_k[-1] - wall_k[0]) / med_wall, 3)
                              if len(wall_k) > 1 else 0.0),
+        "ess_min_per_s": round(float(np.median(ess_mins)) / med_wall, 4),
+        "rhat_max": round(max(rhats), 4) if rhats else None,
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
+        "thin": nn_thin,
         "L": L, "step": step if fixed_step else "coupled-da",
         "adapted_step": round(adapted_step, 6),
         "warm_start_s": round(warm_s, 2),
@@ -1179,7 +1238,7 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     if lowrank_extras_nn is not None:
         stats["lowrank_metric"] = lowrank_extras_nn
     try:
-        total_flops = _sampling_flops(log_prob, cfg, n_samples, refresh,
+        total_flops = _sampling_flops(log_prob, cfg, nn_seg, refresh,
                                       grad_fn, warm_state, inits, aux0,
                                       nn_metric, n_samples)
         stats["mfu"] = _mfu_stats(total_flops, med_wall, n_chains, n_samples)
@@ -1379,7 +1438,8 @@ def bench_torch_baseline_nn(x, y, mu, sigma, idx, L, step, n_samples,
 
 def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
                          collect: bool = False, step: float = 1e-4,
-                         jitter_low_frac=None):
+                         jitter_low_frac=None, sub_dim=None,
+                         asset: str = "prod", L=None):
     """Identical posterior + kernel in torch on CPU (reference substrate).
 
     Default mode times draws/s at a reference-scale step. With
@@ -1387,12 +1447,18 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
     loop instead runs the SAME kernel config as the jax full-grid
     (``--stride 1 --fn-stride 1``) bench and returns the chain so its ESS/s
     can be measured — the ``--torch-ess`` offline mode (VERDICT r2 item 5).
+
+    ``sub_dim``/``asset``/``L``/``step`` make the loop matchable to any
+    bench row's exact configuration — e.g. the 90%-captured-variance row
+    (``sub_dim='90pct'``) at the jax-adapted step and trajectory length,
+    so ``vs_baseline`` is a measured identical-kernel draws/s ratio there
+    too (VERDICT r4 item 1).
     """
     import torch
 
     torch.manual_seed(0)
     cfg, apply_flat, (branch_x, trunk_x, y), mu, sigma, idx, n_chains, n_samples = \
-        build_problem(quick)
+        build_problem(quick, sub_dim=sub_dim, asset=asset)
 
     mu_t = torch.tensor(np.asarray(mu))
     sigma_t = torch.tensor(np.asarray(sigma))
@@ -1460,9 +1526,9 @@ def bench_torch_baseline(quick: bool, max_seconds: float = 120.0,
     clip = (BENCH_CLIP * (len(idx) / 2048.0) ** 0.5) if collect else None
     return _torch_hmc_timing(
         log_prob, lambda: mu_t + sigma_t * torch.randn_like(mu_t),
-        mu_t[idx_t], sigma_t[idx_t] ** 2, step, BENCH_L, n_samples,
-        max_seconds, collect=collect, jitter_low_frac=jitter_low_frac,
-        clip_norm=clip)
+        mu_t[idx_t], sigma_t[idx_t] ** 2, step, BENCH_L if L is None else L,
+        n_samples, max_seconds, collect=collect,
+        jitter_low_frac=jitter_low_frac, clip_norm=clip)
 
 
 def main():
@@ -1541,6 +1607,14 @@ def main():
                          "(floored at prior precision/4). Fixes surrogate "
                          "diagonals that over/under-state conditional "
                          "scales; composes with --lowrank-mass")
+    ap.add_argument("--persist", type=float, default=0.0, metavar="ALPHA",
+                    help="generalized/Horowitz HMC: partial momentum "
+                         "refresh p <- ALPHA*p + sqrt(1-ALPHA^2)*xi with a "
+                         "momentum flip on reject (hmc/kernel.py "
+                         "momentum_persistence). The short-trajectory "
+                         "escape from the random-walk regime; pays off "
+                         "only at high acceptance (rejections flip the "
+                         "persistent direction)")
     ap.add_argument("--target-accept", type=float, default=None,
                     help="coupled-DA acceptance target override (default "
                          "0.65; must sit BELOW the configuration's "
@@ -1711,7 +1785,10 @@ def main():
         nn_stats = bench_nn(args.quick, skip_baseline=args.skip_baseline,
                             frozen_policy=args.frozen_policy,
                             step=args.nn_step, L=args.L, chains=args.chains,
-                            lowrank_rank=args.lowrank_mass)
+                            lowrank_rank=args.lowrank_mass,
+                            draws=args.draws,
+                            thin=(args.thin if args.thin > 1 else None),
+                            segment=args.segment, persist=args.persist)
         vsb = nn_stats.pop("vs_baseline", None)
         print(json.dumps({
             "metric": "ess_per_sec_vihmc_nn",
@@ -1747,7 +1824,8 @@ def main():
                              hutch_diag=args.hutch_diag,
                              eigen_two_sided=args.eigen_two_sided,
                              paired_delta=not args.no_paired_delta,
-                             grad_dtype=args.grad_dtype or "float32")
+                             grad_dtype=args.grad_dtype or "float32",
+                             persist=args.persist)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the
@@ -1768,7 +1846,23 @@ def main():
     vs_baseline = float("nan")
     if not args.skip_baseline:
         try:
-            torch_stats = bench_torch_baseline(args.quick)
+            if args.subspace == "90pct":
+                # measured identical-kernel baseline AT THE ROW CONFIG
+                # (VERDICT r4 item 1: vs_baseline was null in the committed
+                # 90pct row): same subspace, asset, trajectory length, and
+                # the jax-adapted per-draw step (step_quartiles medians
+                # already include the eps jitter). Same chain in
+                # distribution -> the draws/s ratio is the expected ESS/s
+                # ratio at identical per-draw work.
+                row_step = (jax_stats.get("step_quartiles") or [1e-3])[-1]
+                torch_stats = bench_torch_baseline(
+                    args.quick, sub_dim="90pct", asset=args.asset,
+                    L=args.L or BENCH_L, step=row_step, max_seconds=240.0)
+                jax_stats["torch_baseline_config"] = {
+                    "step": row_step, "L": args.L or BENCH_L,
+                    "draws_timed": torch_stats["draws"]}
+            else:
+                torch_stats = bench_torch_baseline(args.quick)
             # one chain in torch vs n_chains on chip: per-chip throughput ratio
             vs_baseline = jax_stats["samples_per_s"] / torch_stats["samples_per_s"]
             jax_stats["torch_cpu_samples_per_s"] = torch_stats["samples_per_s"]

@@ -92,6 +92,59 @@ def test_hmc_correlated_gaussian_moments():
     np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.35)
 
 
+def test_ghmc_persistent_momentum_moments():
+    """Generalized/Horowitz HMC (momentum_persistence + reject-flip) is
+    exact: correlated-Gaussian moments recovered at L=1, alpha=0.9 —
+    the regime where plain HMC would random-walk."""
+    cov = jnp.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def lp(q):
+        return -0.5 * q @ prec @ q
+
+    cfg = HMCConfig(num_samples=8000, num_leapfrog=1, step_size=0.35,
+                    momentum_persistence=0.9)
+    res = jax.jit(lambda k: sample(lp, jnp.zeros(2), k, cfg))(jax.random.key(3))
+    assert float(res.acceptance_rate) > 0.8
+    post = np.asarray(res.samples[2000:])
+    emp_cov = np.cov(post.T)
+    np.testing.assert_allclose(post.mean(0), 0.0, atol=0.2)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.4)
+
+
+def test_ghmc_asymmetric_target_moments():
+    """The reject-side momentum FLIP is load-bearing: on an asymmetric
+    (quartic-tilted) 1-D target, persistent momentum without the flip
+    biases the stationary law. Moments are checked against numerical
+    quadrature."""
+    def lp(q):
+        x = q[0]
+        return -0.25 * x ** 4 + 0.5 * x ** 2 - 0.3 * x
+
+    xs = np.linspace(-6, 6, 20001)
+    w = np.exp(-0.25 * xs ** 4 + 0.5 * xs ** 2 - 0.3 * xs)
+    w /= w.sum()
+    want_mean = float((w * xs).sum())
+    want_std = float(np.sqrt((w * xs ** 2).sum() - want_mean ** 2))
+
+    cfg = HMCConfig(num_samples=12000, num_leapfrog=2, step_size=0.4,
+                    momentum_persistence=0.85)
+    res = jax.jit(lambda k: sample(lp, jnp.zeros(1), k, cfg))(jax.random.key(4))
+    post = np.asarray(res.samples[2000:, 0])
+    assert abs(post.mean() - want_mean) < 0.1
+    assert abs(post.std() - want_std) < 0.12
+
+
+def test_ghmc_zero_persistence_matches_plain_hmc():
+    """alpha=0 must reproduce the plain-HMC chain draw-for-draw (same key)."""
+    cfg0 = HMCConfig(num_samples=50, num_leapfrog=5, step_size=0.3)
+    cfga = HMCConfig(num_samples=50, num_leapfrog=5, step_size=0.3,
+                     momentum_persistence=0.0)
+    r0 = sample(std_normal_lp, jnp.ones(3), jax.random.key(7), cfg0)
+    ra = sample(std_normal_lp, jnp.ones(3), jax.random.key(7), cfga)
+    np.testing.assert_array_equal(np.asarray(r0.samples), np.asarray(ra.samples))
+
+
 def test_hmc_offset_gaussian_with_diag_mass():
     mu = jnp.array([3.0, -2.0, 0.5])
     scale = jnp.array([0.1, 1.0, 5.0])

@@ -145,6 +145,25 @@ class HMCConfig:
                                         # the right scale within burn when the
                                         # configured step is orders of
                                         # magnitude off ('hmc_nuts' only).
+    momentum_persistence: float = 0.0   # generalized/Horowitz HMC: carry
+                                        # momentum across draws, partially
+                                        # refreshed as
+                                        #   p <- alpha*p + sqrt(1-alpha^2)*xi,
+                                        # xi ~ N(0, M), with a momentum FLIP
+                                        # on rejection (the flip is what keeps
+                                        # the chain exact — Horowitz 1991;
+                                        # Neal 2011 sec. 5.3). alpha=0 is
+                                        # standard HMC (full refresh).
+                                        # Successive accepted trajectories
+                                        # keep moving in a persistent
+                                        # direction, so SHORT trajectories
+                                        # (small L) escape the random-walk
+                                        # cliff the round-4 L sweep walked up
+                                        # to — the textbook lever for the
+                                        # short-trajectory rough-target
+                                        # regime. Rejections break
+                                        # persistence, so it pays off only
+                                        # at high acceptance.
     store_aux_trace: bool = False       # record the per-draw aux state (e.g.
                                         # the frozen VI draw used at each
                                         # iteration — the reference's
@@ -182,6 +201,7 @@ class HMCState:
     aux: Any  # frozen-coordinate state etc.; None when unused
     welford: Any = None   # WelfordState when adapt_mass, else None
     inv_mass: Any = None  # (D,) carried metric when mass_schedule='windowed'
+    momentum: Any = None  # (D,) carried momentum when momentum_persistence>0
 
 
 def mass_window_schedule(burn: int):
@@ -330,9 +350,14 @@ def init_state(log_prob_fn, position, config: HMCConfig, aux=None,
     if config.adapt_mass and config.mass_schedule == "windowed":
         inv_mass_state = jnp.broadcast_to(
             jnp.asarray(inv_mass, position.dtype), position.shape)
+    momentum = None
+    if config.momentum_persistence > 0.0:
+        # zeros placeholder: the kernel fully refreshes at iteration 0, so
+        # the carried value never enters the first draw
+        momentum = jnp.zeros_like(position)
     return HMCState(position=position, log_prob=lp, grad=g,
                     da=da_init(step0), aux=aux, welford=welford,
-                    inv_mass=inv_mass_state)
+                    inv_mass=inv_mass_state, momentum=momentum)
 
 
 def clipped_grad_fn(base, max_norm: float, inv_mass=1.0, is_grad: bool = True):
@@ -541,8 +566,18 @@ def make_kernel(
             inv_mass_t = inv_mass
 
         # --- momentum draw: p ~ N(0, M) (M = inv_mass^-1 for diagonal
-        # metrics; M = D + UU^T for LowRankMetric — hmc/metric.py) ---
-        p0 = mass_sample_momentum(inv_mass_t, key_mom, state.position)
+        # metrics; M = D + UU^T for LowRankMetric — hmc/metric.py). With
+        # momentum_persistence the fresh draw only partially replaces the
+        # carried momentum (the linear combination preserves the N(0, M)
+        # marginal for ANY metric); iteration 0 refreshes fully so the
+        # zeros init never enters ---
+        p_fresh = mass_sample_momentum(inv_mass_t, key_mom, state.position)
+        alpha = config.momentum_persistence
+        if alpha > 0.0:
+            p0 = alpha * state.momentum + (1.0 - alpha ** 2) ** 0.5 * p_fresh
+            p0 = jnp.where(iteration == 0, p_fresh, p0)
+        else:
+            p0 = p_fresh
         ke0 = mass_kinetic_energy(inv_mass_t, p0)
 
         # --- trajectory ---
@@ -618,6 +653,15 @@ def make_kernel(
         position = jnp.where(accept, q1, state.position)
         log_prob = jnp.where(accept, lp1, lp0)
         grad = jnp.where(accept, g1, g0)
+        momentum = None
+        if alpha > 0.0:
+            # Horowitz scheme: the proposal is flip(leapfrog(q, p)) and the
+            # chain negates momentum again after the MH step — net effect:
+            # accepted draws KEEP the trajectory-end momentum (persistent
+            # motion), rejected draws FLIP the carried momentum (required
+            # for exactness; also why rejections hurt persistence). Kinetic
+            # energy is even in p, so the MH delta above is unchanged.
+            momentum = jnp.where(accept, p1, -p0)
 
         # --- Welford accumulation / metric updates ---
         is_win_end = None
@@ -655,7 +699,7 @@ def make_kernel(
 
         new_state = HMCState(position=position, log_prob=log_prob, grad=grad,
                              da=da, aux=aux, welford=welford,
-                             inv_mass=inv_mass_state)
+                             inv_mass=inv_mass_state, momentum=momentum)
         info = {
             "accept_prob": accept_prob,
             "accepted": accept,

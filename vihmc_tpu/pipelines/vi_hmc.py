@@ -561,9 +561,9 @@ def run_nn(cfg: VIHMCRunConfig, mlp_cfg, artifacts, key=None, data=None,
            mesh=None, store: Optional[RunStore] = None, segment_size=None,
            checkpoint_dir=None, progress=None, sample_thin=1, evaluate=True):
     """NN regression VI-HMC (reference main_VI_HMC.py)."""
-    if cfg.coarse_stride or cfg.fn_stride:
-        raise ValueError("coarse_stride/fn_stride apply to the operator "
-                         "workload's Gram gradient only")
+    if cfg.coarse_stride or cfg.fn_stride or cfg.grad_dtype == "bfloat16":
+        raise ValueError("coarse_stride/fn_stride/grad_dtype apply to the "
+                         "operator workload's Gram gradient only")
     key = jax.random.key(0) if key is None else key
     kd, ks = jax.random.split(key)
     if data is None:
@@ -649,7 +649,10 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
 
     # in auto mode the Gram/stride oracle is built ALONGSIDE the Gaussian
     # field, as the probe's fallback trajectory field
-    gram_eligible = (cfg.algorithm == "hmc" and cfg.loss == "NLL"
+    # 'auto' resolves to plain HMC inside run_subspace_hmc unless the burn
+    # probe picks otherwise, and the Gram oracle is the documented fallback
+    # field for the auto probe — so 'auto' is Gram-eligible too
+    gram_eligible = (cfg.algorithm in ("hmc", "auto") and cfg.loss == "NLL"
                      and subsample is None
                      and not deeponet_cfg.noise_neurons
                      and train_split["trunk_in"].ndim == 2
@@ -688,9 +691,12 @@ def run_operator(cfg: VIHMCRunConfig, deeponet_cfg, artifacts, key=None,
         raise ValueError("coarse_stride/fn_stride require the Gram "
                          "trajectory-gradient path (plain HMC, NLL, shared "
                          "grid, use_gram)")
-    elif cfg.grad_dtype:
-        raise ValueError("grad_dtype applies to the Gram trajectory-gradient "
-                         "path (operator NLL, shared grid, use_gram)")
+    elif cfg.grad_dtype == "bfloat16":
+        # explicit 'float32' is the behavioral default and a no-op off the
+        # Gram path; only the datapath-changing request is an error
+        raise ValueError("grad_dtype='bfloat16' applies to the Gram "
+                         "trajectory-gradient path (operator NLL, shared "
+                         "grid, use_gram)")
 
     out = run_subspace_hmc(
         cfg,
