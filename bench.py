@@ -420,7 +420,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
               density_precision: str = "float32", target_accept=None,
               hutch_diag: int = 0, eigen_two_sided: bool = False,
               paired_delta: bool = True, grad_dtype: str = "float32",
-              persist: float = 0.0):
+              persist: float = 0.0, fused_delta: bool = False):
     # Default composed likelihood for the ENDPOINT density: measured INSIDE
     # the compiled sampling scan the composed XLA likelihood reaches 2187
     # chain-grads/s vs 1549 for the chain-batched fused Pallas kernel at 16
@@ -559,12 +559,22 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
     # scale (docs/performance.md round 4). Composed-likelihood path only.
     delta_fn = None
     if paired_delta and compute_dtype is None and not use_fused:
-        from vihmc_tpu.pipelines.common import make_paired_subspace_delta
+        if fused_delta:
+            # round-5 attack on the largest per-draw cost: both endpoint
+            # merges tile-by-tile in one Pallas kernel, no (B, P) array in
+            # HBM (ops/deeponet_merge.py fused_paired_delta)
+            from vihmc_tpu.pipelines.common import \
+                make_fused_paired_subspace_delta
 
-        delta_fn = make_paired_subspace_delta(
-            apply_flat, branch_x, trunk_x, y, 1.0, spec, prior,
-            precision=density_precision if density_precision != "default"
-            else "float32")
+            delta_fn = make_fused_paired_subspace_delta(
+                cfg, branch_x, trunk_x, y, 1.0, spec, prior)
+        else:
+            from vihmc_tpu.pipelines.common import make_paired_subspace_delta
+
+            delta_fn = make_paired_subspace_delta(
+                apply_flat, branch_x, trunk_x, y, 1.0, spec, prior,
+                precision=density_precision if density_precision != "default"
+                else "float32")
 
     inits = jnp.tile(spec.sub_mu()[None, :], (n_chains, 1))
     warm_s = 0.0
@@ -842,6 +852,7 @@ def bench_jax(quick: bool, compute_dtype=None, use_fused: bool = False,
         "density_precision": density_precision,
         "grad_dtype": grad_dtype,
         "paired_delta": bool(delta_fn is not None),
+        "fused_delta": bool(fused_delta and delta_fn is not None),
         "init_opt": init_opt,
         "warm_start_s": round(warm_s, 2),
         "posterior_provenance": dict(LAST_PROBLEM_PROVENANCE),
@@ -1590,6 +1601,11 @@ def main():
                          "Eigenpairs cache under runs/lanczos_cache")
     ap.add_argument("--lowrank-iters", type=int, default=None,
                     help="Lanczos iterations (default max(2K, K+10))")
+    ap.add_argument("--fused-delta", action="store_true",
+                    help="evaluate the paired MH delta with the fused "
+                         "Pallas kernel (both endpoint merges tile-by-tile, "
+                         "no (B,P) prediction in HBM) instead of the "
+                         "composed f32 forwards")
     ap.add_argument("--no-paired-delta", action="store_true",
                     help="disable the paired MH log-density difference "
                          "(hmc delta_fn) and difference two separately "
@@ -1825,7 +1841,8 @@ def main():
                              eigen_two_sided=args.eigen_two_sided,
                              paired_delta=not args.no_paired_delta,
                              grad_dtype=args.grad_dtype or "float32",
-                             persist=args.persist)
+                             persist=args.persist,
+                             fused_delta=args.fused_delta)
 
     if args.extras:
         # bf16-forward headroom measurement (fp32 stays the headline: the

@@ -190,3 +190,37 @@ def make_paired_subspace_delta(apply_flat, branch_x, trunk_x, y, tau_var,
         return dll + dpr, lp1
 
     return delta_fn
+
+
+def make_fused_paired_subspace_delta(cfg: DeepONetConfig, branch_x, trunk_x,
+                                     y, tau_var, spec, prior,
+                                     interpret: bool = False):
+    """Fused-Pallas variant of :func:`make_paired_subspace_delta`: both
+    endpoint merges run tile-by-tile in one kernel and neither (B, P)
+    prediction ever reaches HBM (:func:`vihmc_tpu.ops.deeponet_merge.
+    fused_paired_delta`). Same paired small-term reduction for the
+    MH-critical difference; the tiny feature nets still run composed at
+    f32 matmul precision. Semantics identical to the composed evaluator
+    (torch GaussianNLLLoss convention, no 2-pi constant)."""
+    from vihmc_tpu.models.deeponet import deeponet_features, init_deeponet
+    from vihmc_tpu.ops.deeponet_merge import fused_paired_delta
+
+    _, unravel = ravel_pytree(init_deeponet(jax.random.key(0), cfg))
+    idx = spec.idx_array
+    tau = float(tau_var)
+
+    def delta_fn(q1, q0, aux):
+        full1 = scatter_subspace(aux, q1, idx)
+        full0 = scatter_subspace(aux, q0, idx)
+        params1 = unravel(full1)
+        params0 = unravel(full0)
+        with jax.default_matmul_precision("float32"):
+            bout1, tout1 = deeponet_features(cfg, params1, branch_x, trunk_x)
+            bout0, tout0 = deeponet_features(cfg, params0, branch_x, trunk_x)
+        dll, lp1 = fused_paired_delta(bout1, tout1, params1["b"],
+                                      bout0, tout0, params0["b"], y, tau,
+                                      interpret=interpret)
+        dpr = prior.log_prob(q1) - prior.log_prob(q0)
+        return dll + dpr, lp1 + prior.log_prob(q1)
+
+    return delta_fn
