@@ -1787,7 +1787,13 @@ def main():
                 # key noise and closer to the random-walk regime).
                 args.L = 4
             if args.target_accept is None:
-                args.target_accept = 0.4
+                # round-5 DA-target sweep (docs/performance.md round 5):
+                # 0.40 was chosen under acceptance ceilings the final
+                # recipe removed; with the ceiling gone the target is the
+                # displacement dial and the measured optimum is a broad
+                # plateau at 0.20-0.25 (pooled ESS 88-90 vs 71 at 0.40,
+                # same per-draw cost). 0.25 keeps acceptance margin.
+                args.target_accept = 0.25
             if args.draws is None:
                 args.draws = 1440
             if args.burn is None:
