@@ -123,41 +123,39 @@ TORCH_ESS_MEASURED = 0.00372
 #: baseline). All diagonal-metric variants are correlation-bound at this
 #: scale — weight-space tau >> 300 on the r3 posterior.
 NINETYPCT_MEASURED = {
-    "ess_per_s": 0.0977,
+    "ess_per_s": 0.178,
     "asset": "stress", "frozen_policy": "draw",
-    "ess_median_by_key": [22.1, 22.2, 22.4],
-    "wall_s_by_key": [224.72, 227.63, 236.99],
-    "wall_spread_frac": 0.054,
+    "ess_median_by_key": [23.2, 23.3, 23.4],
+    "wall_s_by_key": [128.78, 131.04, 166.08],
+    "wall_spread_frac": 0.285,
+    "ess_min_per_s": 0.1345, "rhat_max": 4.4,
     "subspace_dim": 37294,
     "chains": 32, "draws": 1440, "burn": 288, "thin": 6,
-    "acceptance": 0.3941,
-    "ess_median_half1": 19.58, "ess_median_half2": 18.61,
+    "acceptance": 0.2464,
+    "vs_baseline_draws_per_s": 540.28,
+    "torch_cpu_samples_per_s": 0.6509,
+    "torch_baseline_config": {"step": 0.0332, "L": 4, "draws_timed": 154},
     "config": "complete valid draw recipe: warm start + laplace diagonal "
               "+ rank-512 low-rank metric + full-grid bf16 trajectory "
-              "gradients + f32 paired-delta density + L=8 @ 0.40",
+              "gradients + f32 paired-delta density + L=4 @ 0.25",
     "lowrank_spectrum": {"rank": 512, "eig_top": 6342.4,
                          "eig_min_kept": 8.8, "n_above_10": 505,
                          "n_above_100": 77, "n_above_1000": 20},
-    "mfu": 0.0908,
-    "measured": "2026-08-21 (bench --subspace 90pct --asset stress "
-                "--draws 1440 --burn 288 --thin 6 --lowrank-mass 512, "
-                "3 keys). History: r3 refresh-policy row 0.203 ESS/s "
-                "(INVALID sampler — reported for lineage only); first "
-                "valid probe 0.036 (rank 256, f32, thin 3); this row is "
-                "2.7x the probe via on-device thin-6 transfers, bf16 "
-                "trajectory gradients, and rank 512. The 1 ESS/s target "
-                "(VERDICT r3 item 2) is NOT reached: the preconditioned "
-                "conditional spectrum decays as a power law "
-                "lambda_k ~ 6342 k^-1.09 (505 of 512 directions above "
-                "10) — a curvature CONTINUUM where each rank doubling "
-                "buys ~1.3x step — and the per-draw step quartiles "
-                "still decline at 1440 draws, i.e. the binding "
-                "constraint has shifted to trajectory-field quality / "
-                "density roughness, not spectrum rank. An f32-field "
-                "control measured 0.1024 (a wash). NOTE: this row ran "
-                "at L=8; the headline's L sweep (shorter trajectories "
-                "win ~linearly on roughness-limited targets) postdates "
-                "it — a short-L re-run is the first next lever.",
+    "mfu": 0.0862,
+    "measured": "2026-08-21 r5 (bench --subspace 90pct --asset stress "
+                "--thin 6 --lowrank-mass 512, 3 keys, baseline measured "
+                "in-run at the exact row config — same kernel both sides, "
+                "so the draws/s ratio is the expected ESS/s ratio). "
+                "History: r3 refresh-policy 0.203 (INVALID sampler — "
+                "lineage only); r4 valid L=8 @ 0.40 row 0.0977; round-5 "
+                "levers TRANSFER to 37k dims: L=8->4 at 0.40 kept ESS "
+                "~22 at 62% the wall (0.138), target 0.40->0.25 raised "
+                "the DA step 0.021->0.033 (0.171 single-key); rank-256 "
+                "A/B at the winner was a wash in ESS (22.7 vs 23.2). "
+                "1.82x the r4 row; the curvature-continuum ceiling "
+                "analysis (lambda_k ~ 6342 k^-1.09) still holds — the "
+                "residual binder is density roughness, now at O(0.2) "
+                "rather than O(0.1) ESS/s.",
 }
 
 #: bf16 MXU peak FLOP/s by TPU generation (device_kind substring match,
@@ -351,7 +349,10 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None,
     apply_flat, flat0, _ = make_flat_deeponet(cfg, compute_dtype=compute_dtype)
     d = flat0.shape[0]
 
-    asset_path = OPERATOR_ASSETS[asset]
+    # named regime ('prod'/'stress') or a direct bundle path (the round-5
+    # VI-regime sweep trains additional fits, e.g.
+    # assets/burgers_stage12_e800.npz)
+    asset_path = OPERATOR_ASSETS.get(asset, asset)
     if not quick and os.path.exists(asset_path):
         from vihmc_tpu.data import get_burgers
 
@@ -1588,11 +1589,12 @@ def main():
                          "round-3 forensics proved it ratchets (invalid "
                          "pseudo-Gibbs) on sharply-trained VI fits -- "
                          "docs/performance.md round 3")
-    ap.add_argument("--asset", default="prod", choices=["prod", "stress"],
+    ap.add_argument("--asset", default="prod",
                     help="stage-1/2 bundle: 'prod' = 400-epoch production "
                          "VI fit (headline); 'stress' = 2400-epoch stiff "
                          "fit (off-diagonal curvature ~1e4x diagonal "
-                         "Fisher -- the low-rank-metric stress row)")
+                         "Fisher -- the low-rank-metric stress row); or a "
+                         "direct .npz bundle path (VI-regime sweep fits)")
     ap.add_argument("--lowrank-mass", type=int, default=0, metavar="K",
                     help="low-rank+diagonal kinetic metric: correct the K "
                          "stiffest preconditioned curvature directions via "
