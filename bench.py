@@ -339,9 +339,16 @@ def build_problem(quick: bool, compute_dtype=None, draws=None, sub_dim=None,
         n_fn, n_pts, sd, n_chains, n_samples = 32, 256, 128, 4, 20
     else:
         cfg = DeepONetConfig()  # reference scale
-        # 32 chains: ESS/s optimum from scripts/tpu_chain_sweep.py
-        # (C=8: 1.55, C=16: 2.05, C=32: 2.54, C=64: 2.33 ESS/s)
-        n_fn, n_pts, sd, n_chains, n_samples = 1000, 10201, 2048, 32, 360
+        # 48 chains (round 5): the bf16 gradient datapath halved the
+        # working set that crashed 64-chain f32 runs in round 1; at the
+        # 0.25-target L=4 recipe the chain axis is not yet compute-bound
+        # at 32 (C=32: 0.980, C=48: 1.204, C=64: 1.111 ESS/s — 64 runs
+        # CLEAN now but sits past the knee; runs/r5/chains*.json)
+        n_fn, n_pts, sd, n_chains, n_samples = 1000, 10201, 2048, 48, 360
+        if sub_dim == "90pct":
+            # the 90pct rows were measured at 32 chains (and carry a much
+            # larger per-chain sample footprint); keep their config
+            n_chains = 32
     sub_dim = sd if sub_dim is None else sub_dim
     if draws is not None:
         n_samples = draws
