@@ -1771,7 +1771,14 @@ def main():
         # roughness-limited target), 1440 draws thinned 3x so tau is
         # resolved (tau ~ 500-600 >> the old 288 kept draws).
         args.coupled = True
-        if args.frozen_policy == "draw" and not args.quick:
+        # the draw-policy recipe defaults below are the OPERATOR recipe
+        # (full-grid Gram gradients, Laplace diagonal, rank-256 metric,
+        # L=4 @ 0.25); applying them to --workload nn silently imposed a
+        # rank-256 metric on the 73-dim NN subspace and L=4 on a
+        # latency-bound L=96 workload (round-5 fix: the NN row owns its
+        # own defaults inside bench_nn)
+        if (args.frozen_policy == "draw" and not args.quick
+                and args.workload == "operator"):
             args.stride = 1
             args.fn_stride = 1
             args.laplace_mass = True
