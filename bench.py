@@ -1205,6 +1205,35 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     adapted_step = float(np.exp(np.median(
         np.asarray(warm_state.da.log_step))))
     from vihmc_tpu.chains import rhat_rank_np
+    from vihmc_tpu.core.ravel import scatter_subspace
+
+    # FUNCTION-SPACE probe outputs are the NN row's headline quantity
+    # (round 5). Forensics (runs/r5/nn_c64*.json): under the valid draw
+    # policy the frozen NN conditional is basin-trapped by the exact
+    # weight-space symmetries (tanh sign flips / permutations — the
+    # round-2 canonicalization finding): weight-space pooled ESS sits at
+    # the C/2 estimator floor at ANY chain count and window (ESS 512-517
+    # at C=1024; 32-34 at C=64 even at 11,520 post-burn draws; rhat 9-28).
+    # Every historic weight-space NN "ESS/s" was that floor artifact. The
+    # posterior-predictive probe battery (pipelines/postprocess.py
+    # function_space_diagnostics) is invariant to the trapping symmetries
+    # and measures mixing of the quantity the reference actually consumes
+    # (its pipelines validate purely through predictions) — the NN row's
+    # value is fs-ESS/s from round 5 on; weight-space ESS + a floor flag
+    # stay in the extras.
+    idx_arr = spec.idx_array
+
+    def predict_probe(q):
+        return apply_flat(scatter_subspace(aux0, q, idx_arr), x).ravel()
+
+    probe_fn = jax.jit(jax.vmap(predict_probe))
+
+    def fs_traces(post):
+        c, s, d = post.shape
+        flat = post.reshape(c * s, d)
+        outs = [np.asarray(probe_fn(jnp.asarray(flat[i:i + 8192])))
+                for i in range(0, flat.shape[0], 8192)]
+        return np.concatenate(outs, axis=0).reshape(c, s, -1)
 
     per_key = []
     for k in ((2,) if quick else BENCH_KEYS):
@@ -1213,16 +1242,23 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
         samples = np.asarray(res.samples)
         elapsed = time.perf_counter() - t0 + warm_s
         post = samples[:, n_burn // nn_thin:, :]
-        ess = effective_sample_size_np(post)
+        ess_w = effective_sample_size_np(post)
+        probes = fs_traces(post)
+        ess_fs = effective_sample_size_np(probes)
         per_key.append({
             "key": k,
             "elapsed_s": elapsed,
             "samples_per_s": n_chains * n_samples / elapsed,
-            "ess_median": float(np.median(ess)),
-            "ess_min": float(np.min(ess)),
-            "rhat_max": (float(np.max(rhat_rank_np(post)))
+            "ess_median": float(np.median(ess_fs)),
+            "ess_min": float(np.min(ess_fs)),
+            "rhat_max": (float(np.max(rhat_rank_np(probes)))
                          if post.shape[0] > 1 else None),
-            "ess_per_s": float(np.median(ess)) / elapsed,
+            "ess_weight_median": float(np.median(ess_w)),
+            "ess_weight_at_chain_floor": bool(
+                np.median(ess_w) <= 0.6 * post.shape[0]),
+            "rhat_weight_max": (float(np.max(rhat_rank_np(post)))
+                                if post.shape[0] > 1 else None),
+            "ess_per_s": float(np.median(ess_fs)) / elapsed,
             "acceptance": float(res.acceptance_rate),
         })
     # same split-metric schema as the operator bench (VERDICT r2 item 7):
@@ -1233,9 +1269,12 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     wall_k = sorted(s["elapsed_s"] for s in per_key)
     med_ess, med_wall = float(np.median(ess_k)), float(np.median(wall_k))
     rhats = [s["rhat_max"] for s in per_key if s.get("rhat_max") is not None]
+    rhats_w = [s["rhat_weight_max"] for s in per_key
+               if s.get("rhat_weight_max") is not None]
     ess_mins = sorted(s["ess_min"] for s in per_key)
     stats.update({
         "ess_per_s": med_ess / med_wall,
+        "ess_kind": "function_space_probes",
         "ess_median_by_key": [round(e, 1) for e in ess_k],
         "wall_s_by_key": [round(w, 2) for w in wall_k],
         "wall_s_median": round(med_wall, 3),
@@ -1243,6 +1282,11 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
                              if len(wall_k) > 1 else 0.0),
         "ess_min_per_s": round(float(np.median(ess_mins)) / med_wall, 4),
         "rhat_max": round(max(rhats), 4) if rhats else None,
+        "ess_weight_median_by_key": [round(s["ess_weight_median"], 1)
+                                     for s in per_key],
+        "ess_weight_at_chain_floor": any(s["ess_weight_at_chain_floor"]
+                                         for s in per_key),
+        "rhat_weight_max": round(max(rhats_w), 4) if rhats_w else None,
         "subspace_dim": len(idx),
         "chains": n_chains,
         "draws": n_samples,
@@ -1281,8 +1325,13 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
                 stats["vs_baseline"] = stats["samples_per_s"] / tb["samples_per_s"]
                 sam = tb.get("samples")
                 if sam is not None and sam.shape[0] >= 100:
-                    t_post = sam[None, sam.shape[0] // 5:, :]
-                    t_ess = float(np.median(effective_sample_size_np(t_post)))
+                    # like-for-like in the SAME fs-probe quantity the jax
+                    # row reports (the torch chain's subspace draws pass
+                    # through the identical probe map)
+                    t_probes = fs_traces(sam[None, sam.shape[0] // 5:, :]
+                                         .astype(np.float32))
+                    t_ess = float(np.median(
+                        effective_sample_size_np(t_probes)))
                     stats["torch_cpu_ess_per_s"] = t_ess / tb["elapsed_s"]
                     stats["vs_baseline_ess_like_for_like"] = round(
                         stats["ess_per_s"] / stats["torch_cpu_ess_per_s"], 2)
