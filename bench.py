@@ -1130,11 +1130,14 @@ def bench_nn(quick: bool, skip_baseline: bool = False,
     # before transfer (tau ~575 >> 12, so pooled ESS is an unchanged
     # estimate) — kept bytes drop ~12x per draw, total wall rises ~2x,
     # and the jittery fixed cost becomes a small fraction of it.
+    # 2880/thin 24 (round 5): wall_spread_frac 0.08 measured vs 0.41 at
+    # 1440/12 — the ~±3 s absolute tunnel jitter needs a >20 s run to
+    # amortize below the 10% reproducibility bar (VERDICT r4 item 2)
     n_chains, n_samples, l_eff, step_eff = ((4, 20, 8, 0.1) if quick
-                                             else (1024, 1440, 96, 0.1))
+                                             else (1024, 2880, 96, 0.1))
     if draws is not None:
         n_samples = draws
-    nn_thin = thin if thin is not None else (1 if quick else 12)
+    nn_thin = thin if thin is not None else (1 if quick else 24)
     nn_seg = segment if segment is not None else (n_samples if quick else 480)
     if chains is not None:
         n_chains = chains
