@@ -1863,7 +1863,18 @@ def main():
                 # same per-draw cost). 0.25 keeps acceptance margin.
                 args.target_accept = 0.25
             if args.draws is None:
-                args.draws = 1440
+                # window-amortization sweep (round 5, final session): the
+                # 1440-draw window still pays the fixed warm-start + 288
+                # burn draws over only ~3.5 tau of kept samples, so the
+                # Geyer ESS estimate is truncation-biased low AND the
+                # fixed costs are ~25% of wall. Doubling the window keeps
+                # the compiled 120-draw segment graph identical and
+                # measured 1.485 ESS/s vs 1.061-1.096 at 1440 (key 2:
+                # pooled ESS 337 vs 132, rhat_max 2.26 vs 2.96,
+                # half-window ESS 150/142 stationary). The reference's
+                # own runs use 10k+ draws, so the longer window is MORE
+                # like-for-like, not less.
+                args.draws = 2880
             if args.burn is None:
                 args.burn = 288
             if args.thin == 1:
