@@ -1820,8 +1820,9 @@ def main():
         # full-grid trajectories, paired MH delta + f32 density (defaults),
         # Laplace diagonal + rank-256 low-rank metric, warm start, L=8
         # trajectories at a 0.40 target (movement-per-wall optimum on the
-        # roughness-limited target), 1440 draws thinned 3x so tau is
-        # resolved (tau ~ 500-600 >> the old 288 kept draws).
+        # roughness-limited target), a long thinned window so tau is
+        # resolved (round 5 final: 2880 draws — see the draws default
+        # below for the window-amortization measurement).
         args.coupled = True
         # the draw-policy recipe defaults below are the OPERATOR recipe
         # (full-grid Gram gradients, Laplace diagonal, rank-256 metric,
